@@ -1,0 +1,113 @@
+"""Fused depth-frame preprocessing.
+
+TPU-native rebuild of the reference's per-frame preprocessing chain
+(SURVEY.md §4.2: Utils::depth2cloud + Utils::estimateNormals + validity
+filtering, originally PCL calls on the host). Here the whole chain is ONE
+XLA program over the [H,W] grid: backprojection, grid normals, validity
+masks, and fixed-size subsampling to a static [Ns] scene cloud (static
+shapes are mandatory under jit — SURVEY.md §8 hard part 1).
+
+The ragged->static trick: valid points are prioritized with random keys
+and selected with a single argsort; padding slots carry weight 0 so they
+contribute nothing to ICP normal equations or scoring.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import camera
+
+
+class SceneCloud(NamedTuple):
+    """Fixed-size scene observation, all static shapes.
+
+    points:  [Ns,3] camera-frame points (padding -> large sentinel coords)
+    normals: [Ns,3] unit normals (padding -> 0)
+    weights: [Ns]   1.0 valid / 0.0 padding
+    depth:   [H,W]  observed depth (meters, 0 = invalid) for render-compare
+    valid:   [H,W]  bool validity mask of `depth`
+    """
+    points: jax.Array
+    normals: jax.Array
+    weights: jax.Array
+    depth: jax.Array
+    valid: jax.Array
+
+
+def downsample_depth(depth: jax.Array, valid: jax.Array, factor: int) -> tuple[jax.Array, jax.Array]:
+    """Min-pool depth by `factor` (foreground-preserving), propagate validity."""
+    if factor == 1:
+        return depth, valid
+    H, W = depth.shape
+    Hc, Wc = H // factor, W // factor
+    d = jnp.where(valid, depth, jnp.inf)
+    d = d[: Hc * factor, : Wc * factor].reshape(Hc, factor, Wc, factor)
+    dmin = jnp.min(jnp.min(d, axis=3), axis=1)
+    v = jnp.isfinite(dmin)
+    return jnp.where(v, dmin, 0.0), v
+
+
+def subsample_cloud(
+    key: jax.Array,
+    points: jax.Array,
+    normals: jax.Array,
+    valid: jax.Array,
+    n_out: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Random fixed-size subsample of valid grid points.
+
+    points/normals [H,W,3], valid [H,W] -> ([n,3], [n,3], weights [n]).
+    One argsort over H*W random priorities; invalid pixels sink to the end.
+    """
+    flat_p = points.reshape(-1, 3)
+    flat_n = normals.reshape(-1, 3)
+    flat_v = valid.reshape(-1)
+    pri = jax.random.uniform(key, flat_v.shape)
+    pri = jnp.where(flat_v, pri, 2.0)  # invalid last
+    order = jnp.argsort(pri)[:n_out]
+    w = flat_v[order].astype(points.dtype)
+    p = flat_p[order]
+    n = flat_n[order]
+    # Push padding points far away so any distance-based op naturally ignores
+    # them even before weighting.
+    p = jnp.where(w[:, None] > 0, p, 1e6)
+    n = jnp.where(w[:, None] > 0, n, 0.0)
+    return p, n, w
+
+
+def preprocess_frame(
+    key: jax.Array,
+    depth_m: jax.Array,
+    *,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    depth_min: float,
+    depth_max: float,
+    n_points: int,
+    render_factor: int = 1,
+    extra_invalid: jax.Array | None = None,
+) -> SceneCloud:
+    """depth (meters, [H,W]) -> SceneCloud. One fused XLA program.
+
+    `extra_invalid` [H,W] bool marks pixels to drop (e.g. rendered hand
+    mask from segmentation — applied by the estimator after hand FK).
+    """
+    valid = (depth_m > depth_min) & (depth_m < depth_max) & jnp.isfinite(depth_m)
+    if extra_invalid is not None:
+        valid = valid & (~extra_invalid)
+    depth_c = jnp.where(valid, depth_m, 0.0)
+    cloud = camera.backproject(depth_c, fx, fy, cx, cy)
+    normals = camera.grid_normals(cloud, valid)
+    # Points whose normal failed (grid edge / neighbors invalid) are dropped:
+    # point-to-plane ICP needs normals. Note scene normals are optional in the
+    # cost (we use model normals), but keeping only well-conditioned points
+    # removes depth discontinuity pixels.
+    nvalid = valid & (jnp.sum(normals * normals, axis=-1) > 0.5)
+    pts, nrm, w = subsample_cloud(key, cloud, normals, nvalid, n_points)
+    d_lo, v_lo = downsample_depth(depth_c, valid, render_factor)
+    return SceneCloud(points=pts, normals=nrm, weights=w, depth=d_lo, valid=v_lo)

@@ -1,0 +1,146 @@
+"""Config system.
+
+Rebuild of the reference's yaml-cpp `ConfigParser` (SURVEY.md §3 "Config
+parser": config.yaml with data paths, camera intrinsics, PSO/ICP params).
+Here: frozen dataclasses whose fields are jit-static, plus YAML loading
+for drop-in compatibility with reference-style config files.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Mapping
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class CameraIntrinsics:
+    """Pinhole camera model. Units: pixels (f, c), meters (depth_scale maps
+    raw depth units -> meters; 1e-3 for 16-bit millimeter PNGs)."""
+    fx: float = 615.0
+    fy: float = 615.0
+    cx: float = 320.0
+    cy: float = 240.0
+    width: int = 640
+    height: int = 480
+    depth_scale: float = 1e-3
+
+    @property
+    def K(self) -> np.ndarray:
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+    def scaled(self, factor: float) -> "CameraIntrinsics":
+        """Intrinsics for a resolution scaled by `factor`."""
+        return dataclasses.replace(
+            self,
+            fx=self.fx * factor,
+            fy=self.fy * factor,
+            cx=self.cx * factor,
+            cy=self.cy * factor,
+            width=int(round(self.width * factor)),
+            height=int(round(self.height * factor)),
+        )
+
+
+@dataclass(frozen=True)
+class IcpConfig:
+    """Point-to-plane ICP (SURVEY.md §3; BASELINE.json config 1)."""
+    iters: int = 30
+    max_corresp_dist: float = 0.02      # meters; gate for correspondences
+    normal_angle_max_deg: float = 60.0  # reject normal-incompatible pairs
+    damping: float = 1e-6               # Levenberg damping on the 6x6 solve
+    step_scale: float = 1.0
+
+
+@dataclass(frozen=True)
+class PsoConfig:
+    """Particle swarm over pose hypotheses (SURVEY.md §3; BASELINE config 3)."""
+    particles: int = 512
+    iters: int = 10
+    rot_sigma: float = 0.12             # radians, initial perturbation scale
+    trans_sigma: float = 0.015          # meters
+    sigma_decay: float = 0.7            # anneal per PSO iteration
+    icp_every: int = 1                  # run ICP refine every k PSO iters
+    icp_iters_inner: int = 5            # ICP iters inside each PSO step
+    elite_frac: float = 0.25            # resample worst particles around best
+
+
+@dataclass(frozen=True)
+class ScoreConfig:
+    """Render-and-compare scoring (SURVEY.md §3 "Render-and-compare scorer")."""
+    depth_tau: float = 0.01             # meters; residual saturation scale
+    wrong_side_penalty: float = 2.0     # rendered in front of observed
+    occlusion_margin: float = 0.005     # meters; hand-occlusion z-test margin
+    coverage_weight: float = 0.5        # reward for explaining observed pixels
+
+
+@dataclass(frozen=True)
+class HandConfig:
+    """Hand segmentation / occlusion parameters (SURVEY.md §3 L3)."""
+    segment_dist: float = 0.008         # meters; point-to-hand distance removal
+    config_samples: int = 8             # sampled finger configurations
+    joint_sigma: float = 0.12           # radians; actuation uncertainty
+    enabled: bool = True
+
+
+@dataclass(frozen=True)
+class TrackerConfig:
+    """Sequence tracking (BASELINE config 4)."""
+    fitness_reinit_threshold: float = 0.25  # below -> global re-registration
+    reinit_particles: int = 1024
+    reinit_rot_sigma: float = 3.2           # ~uniform rotations
+    reinit_trans_sigma: float = 0.05
+
+
+@dataclass(frozen=True)
+class EstimatorConfig:
+    camera: CameraIntrinsics = field(default_factory=CameraIntrinsics)
+    icp: IcpConfig = field(default_factory=IcpConfig)
+    pso: PsoConfig = field(default_factory=PsoConfig)
+    score: ScoreConfig = field(default_factory=ScoreConfig)
+    hand: HandConfig = field(default_factory=HandConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    scene_points: int = 2048            # fixed-size subsampled scene cloud
+    model_points: int = 1024            # fixed-size model cloud
+    render_size: int = 96               # low-res render-and-compare raster
+    depth_min: float = 0.1              # meters; valid depth gate
+    depth_max: float = 2.0
+    dtype: str = "float32"
+
+
+def _build(cls, data: Mapping[str, Any]):
+    names = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in data.items():
+        if k not in names:
+            raise KeyError(f"unknown config key {k!r} for {cls.__name__}")
+        ftype = names[k].type
+        if isinstance(v, Mapping):
+            sub = {
+                "camera": CameraIntrinsics, "icp": IcpConfig, "pso": PsoConfig,
+                "score": ScoreConfig, "hand": HandConfig, "tracker": TrackerConfig,
+            }[k]
+            kwargs[k] = _build(sub, v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def load_yaml(path: str) -> EstimatorConfig:
+    """Load an EstimatorConfig from a YAML file (reference config.yaml shape)."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return _build(EstimatorConfig, data)
+
+
+def save_yaml(cfg: EstimatorConfig, path: str) -> None:
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f)

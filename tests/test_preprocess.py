@@ -1,0 +1,115 @@
+"""Backprojection / normals / subsampling tests against closed-form planes
+(SURVEY.md §5.1)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icra20_hand_object_pose_tpu.ops import camera, preprocess
+
+FX, FY, CX, CY = 300.0, 300.0, 64.0, 48.0
+H, W = 96, 128
+
+
+def plane_depth(n, d):
+    """Depth image of plane n.x = d (n_z > 0) under intrinsics above."""
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    rx = (u - CX) / FX
+    ry = (v - CY) / FY
+    # p = z*(rx, ry, 1); n.p = d -> z = d / (n.(rx,ry,1))
+    denom = n[0] * rx + n[1] * ry + n[2]
+    return (d / denom).astype(np.float32)
+
+
+def test_backproject_project_roundtrip():
+    depth = jnp.asarray(plane_depth(np.array([0.1, -0.05, 1.0]), 0.6))
+    cloud = camera.backproject(depth, FX, FY, CX, CY)
+    uv, z = camera.project(cloud.reshape(-1, 3), FX, FY, CX, CY)
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    np.testing.assert_allclose(np.asarray(uv[:, 0]).reshape(H, W), u, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(uv[:, 1]).reshape(H, W), v, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(z).reshape(H, W), np.asarray(depth), atol=1e-5)
+
+
+def test_grid_normals_on_plane():
+    n_gt = np.array([0.2, 0.1, 1.0])
+    n_gt = n_gt / np.linalg.norm(n_gt)
+    depth = jnp.asarray(plane_depth(n_gt, 0.5))
+    cloud = camera.backproject(depth, FX, FY, CX, CY)
+    valid = depth > 0
+    normals = camera.grid_normals(cloud, valid)
+    inner = np.asarray(normals)[2:-2, 2:-2]
+    # camera-facing orientation -> normal is -n_gt (points toward camera)
+    cos = inner @ (-n_gt)
+    assert cos.mean() > 0.999
+
+
+def test_preprocess_static_shapes_and_weights():
+    n_gt = np.array([0.0, 0.0, 1.0])
+    depth = plane_depth(n_gt, 0.5)
+    depth[:, : W // 2] = 0.0  # half the image invalid
+    sc = preprocess.preprocess_frame(
+        jax.random.key(0), jnp.asarray(depth),
+        fx=FX, fy=FY, cx=CX, cy=CY,
+        depth_min=0.1, depth_max=2.0, n_points=1024, render_factor=2,
+    )
+    assert sc.points.shape == (1024, 3)
+    assert sc.normals.shape == (1024, 3)
+    assert sc.weights.shape == (1024,)
+    assert sc.depth.shape == (H // 2, W // 2)
+    w = np.asarray(sc.weights)
+    assert set(np.unique(w)).issubset({0.0, 1.0})
+    assert w.sum() > 1000  # plenty of valid pixels available
+    pts = np.asarray(sc.points)[w > 0]
+    np.testing.assert_allclose(pts[:, 2], 0.5, atol=1e-4)
+    assert np.all(pts[:, 0] >= -CX / FX * 0.5 - 1e-3)  # in frustum
+
+
+def test_preprocess_few_valid_pixels_pads():
+    depth = np.zeros((H, W), np.float32)
+    depth[40:50, 60:70] = 0.5  # only 100 valid pixels
+    sc = preprocess.preprocess_frame(
+        jax.random.key(0), jnp.asarray(depth),
+        fx=FX, fy=FY, cx=CX, cy=CY,
+        depth_min=0.1, depth_max=2.0, n_points=512,
+    )
+    w = np.asarray(sc.weights)
+    assert 0 < w.sum() <= 100
+    # padded points are far away
+    assert np.all(np.asarray(sc.points)[w == 0] > 1e5)
+
+
+def test_extra_invalid_mask():
+    depth = plane_depth(np.array([0.0, 0.0, 1.0]), 0.5)
+    mask = np.zeros((H, W), bool)
+    mask[:, W // 2:] = True
+    sc = preprocess.preprocess_frame(
+        jax.random.key(0), jnp.asarray(depth),
+        fx=FX, fy=FY, cx=CX, cy=CY,
+        depth_min=0.1, depth_max=2.0, n_points=256,
+        extra_invalid=jnp.asarray(mask),
+    )
+    pts = np.asarray(sc.points)[np.asarray(sc.weights) > 0]
+    # all surviving points in left half: x < (W/2 - CX)/FX * z
+    assert np.all(pts[:, 0] < (W / 2 - CX) / FX * 0.5 + 1e-3)
+
+
+def test_downsample_depth_min_pool():
+    d = np.full((8, 8), 2.0, np.float32)
+    d[0, 0] = 1.0
+    v = d > 0
+    dd, vv = preprocess.downsample_depth(jnp.asarray(d), jnp.asarray(v), 4)
+    assert dd.shape == (2, 2)
+    assert float(dd[0, 0]) == 1.0  # min-pool keeps foreground
+    assert np.all(np.asarray(vv))
+
+
+def test_preprocess_jits():
+    depth = jnp.asarray(plane_depth(np.array([0.0, 0.0, 1.0]), 0.5))
+    f = jax.jit(
+        lambda k, d: preprocess.preprocess_frame(
+            k, d, fx=FX, fy=FY, cx=CX, cy=CY,
+            depth_min=0.1, depth_max=2.0, n_points=512,
+        )
+    )
+    sc = f(jax.random.key(0), depth)
+    assert sc.points.shape == (512, 3)
