@@ -246,6 +246,24 @@ def apply_twist(xi: jax.Array, T: jax.Array) -> jax.Array:
     return _mm(se3_exp(xi), T)
 
 
+def apply_twist_about(xi: jax.Array, T: jax.Array, anchor: jax.Array) -> jax.Array:
+    """Anchor-conjugated update: Trans(a) exp(xi) Trans(-a) @ T.
+
+    The rotation part of xi acts about `anchor` [..,3] instead of the
+    camera origin — essential conditioning for objects ~0.5m from the
+    camera, where an origin-anchored rotation is mostly a translation.
+    """
+    E = se3_exp(xi)
+    Rw, vw = rotation(E), translation(E)
+    R = _mm(Rw, rotation(T))
+    t = (
+        jnp.einsum("...ij,...j->...i", Rw, translation(T) - anchor, precision=_PREC)
+        + anchor
+        + vw
+    )
+    return make_pose(R, t)
+
+
 # ---------------------------------------------------------------------------
 # Compact pose7 = (quat wxyz, t) state for swarms
 # ---------------------------------------------------------------------------
@@ -290,17 +308,21 @@ def perturb_pose(
     trans_sigma: jax.Array | float,
     shape=(),
 ) -> jax.Array:
-    """Sample poses around T: left-multiplied Gaussian twists.
+    """Sample poses around T: Gaussian twists anchored at the object.
 
-    rot_sigma in radians, trans_sigma in the scene's length unit (meters).
-    Mirrors the reference's per-particle SE(3) perturbation sampling
-    (SURVEY.md §3 "PSO / particle optimizer").
+    The rotation noise acts about T's own translation (the object
+    position), so rot_sigma perturbs attitude without flinging the
+    object sideways by lever-arm  — the behavior the reference's
+    per-particle SE(3) perturbation sampling has, since it perturbs
+    object-frame poses (SURVEY.md §3 "PSO / particle optimizer").
+    rot_sigma in radians, trans_sigma in meters.
     """
     kw, kv = jax.random.split(key)
     w = jax.random.normal(kw, shape + (3,)) * rot_sigma
     v = jax.random.normal(kv, shape + (3,)) * trans_sigma
     xi = jnp.concatenate([w, v], axis=-1)
-    return _mm(se3_exp(xi), T)
+    Tb = jnp.broadcast_to(T, shape + (4, 4))
+    return apply_twist_about(xi, Tb, translation(Tb))
 
 
 # ---------------------------------------------------------------------------
