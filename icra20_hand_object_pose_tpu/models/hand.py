@@ -1,0 +1,217 @@
+"""Adaptive-hand kinematic model, segmentation, and occlusion masks.
+
+TPU-native rebuild of the reference's Hand/HandT42 classes (SURVEY.md §3
+"Hand kinematic model" / "Hand segmentation": load finger meshes +
+kinematic tree, forward kinematics under actuation uncertainty, classify
+scene points as hand vs object, render hand for occlusion masking).
+
+Redesign for XLA:
+  - the kinematic tree is STATIC structure (a python loop over ~5 links
+    at trace time); only joint angles are traced tensors;
+  - actuation uncertainty (underactuated gripper, no joint encoders) is
+    a vmapped batch of K sampled finger configurations — the reference
+    samples hand configurations serially when building occlusion masks;
+  - segmentation is one MXU distance matrix scene x hand-cloud, min over
+    the K config axis — no KD-tree;
+  - the occlusion mask is a point-splat hand depth buffer shared with
+    the object renderer (ops/render.py).
+
+The built-in T42 geometry is procedural (capsule phalanges + box palm),
+standing in for the Yale OpenHand T42 mesh assets of the released
+dataset; `HandModel` accepts arbitrary link meshes (e.g. loaded .obj)
+with the same kinematic description.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import knn, render
+from ..utils import meshio, se3
+
+
+def _rot_about(axis: np.ndarray) -> np.ndarray:
+    axis = np.asarray(axis, np.float32)
+    n = np.linalg.norm(axis)
+    return axis / n if n > 0 else axis
+
+
+@dataclass
+class HandLink:
+    """One rigid link of the hand.
+
+    origin: static [4,4] transform parent-frame -> joint frame.
+    axis: revolute axis in joint frame ([0,0,0] = fixed link).
+    joint: index into the actuated-angle vector q (-1 = fixed).
+    coupling/rest: link angle = coupling * q[joint] + rest — models the
+    underactuated distal joints of adaptive hands (distal flexion is a
+    mechanical function of the single finger tendon).
+    """
+    name: str
+    mesh: meshio.Mesh
+    parent: int
+    origin: np.ndarray
+    axis: np.ndarray
+    joint: int = -1
+    coupling: float = 1.0
+    rest: float = 0.0
+
+
+class HandModel:
+    """Device-ready hand: FK + point clouds + segmentation + occlusion."""
+
+    def __init__(self, links: list[HandLink], n_joints: int, points_per_link: int = 256):
+        self.links = links
+        self.n_joints = n_joints
+        self.points_per_link = points_per_link
+        pts = []
+        for li, link in enumerate(links):
+            p, _ = link.mesh.sample_surface(points_per_link, seed=1000 + li)
+            pts.append(p)
+        self._link_pts = jnp.asarray(np.stack(pts))          # [L,Pl,3]
+        self._origins = jnp.asarray(np.stack([l.origin for l in links]))  # [L,4,4]
+        self._axes = [jnp.asarray(_rot_about(l.axis)) for l in links]
+
+    @property
+    def num_links(self) -> int:
+        return len(self.links)
+
+    @property
+    def num_points(self) -> int:
+        return self.num_links * self.points_per_link
+
+    # -- forward kinematics -------------------------------------------------
+
+    def fk(self, q: jax.Array) -> jax.Array:
+        """Joint angles q [J] -> link transforms [L,4,4] in hand-base frame.
+
+        Static python loop over the link tree; fully traceable/vmappable.
+        """
+        Ts = []
+        for li, link in enumerate(self.links):
+            parent_T = jnp.eye(4) if link.parent < 0 else Ts[link.parent]
+            local = self._origins[li]
+            if link.joint >= 0:
+                ang = link.coupling * q[link.joint] + link.rest
+                R = se3.so3_exp(self._axes[li] * ang)
+                local = se3.compose(local, se3.make_pose(R, jnp.zeros(3)))
+            Ts.append(se3.compose(parent_T, local))
+        return jnp.stack(Ts)
+
+    def cloud(self, base_pose: jax.Array, q: jax.Array) -> jax.Array:
+        """Hand surface points in camera frame: [L*Pl, 3]."""
+        Ts = se3.compose(base_pose[None], self.fk(q))          # [L,4,4]
+        pts = se3.transform_points(Ts, self._link_pts)          # [L,Pl,3]
+        return pts.reshape(-1, 3)
+
+    def sampled_clouds(
+        self, key: jax.Array, base_pose: jax.Array, q_nominal: jax.Array,
+        sigma: float, n_samples: int,
+    ) -> jax.Array:
+        """K sampled finger configs (actuation uncertainty) -> [K, L*Pl, 3].
+
+        First sample is always the nominal configuration.
+        """
+        noise = jax.random.normal(key, (n_samples, self.n_joints)) * sigma
+        noise = noise.at[0].set(0.0)
+        qs = jnp.clip(q_nominal[None] + noise, 0.0, jnp.pi)
+        return jax.vmap(lambda q: self.cloud(base_pose, q))(qs)
+
+    # -- segmentation -------------------------------------------------------
+
+    def segment_mask(
+        self, scene_pts: jax.Array, hand_clouds: jax.Array, segment_dist: float
+    ) -> jax.Array:
+        """True where a scene point belongs to the hand.
+
+        scene_pts [Ns,3]; hand_clouds [K,Nh,3] (sampled configs). A point
+        is hand if its distance to ANY sampled hand cloud is below
+        segment_dist — conservative removal, mirroring the reference's
+        distance-to-hand-mesh test (SURVEY.md §3 "Hand segmentation").
+        One MXU distance matrix per config, min over K.
+        """
+        flat = hand_clouds.reshape(-1, 3)
+        d2 = knn.pairwise_sqdist(scene_pts, flat)
+        return jnp.min(d2, axis=-1) < segment_dist * segment_dist
+
+    # -- occlusion ----------------------------------------------------------
+
+    def depth(
+        self, base_pose: jax.Array, q: jax.Array, *,
+        fx: float, fy: float, cx: float, cy: float, height: int, width: int,
+        radius: int = 1,
+    ) -> jax.Array:
+        """Hand depth buffer [H,W] (+inf empty) for finger-occlusion masks."""
+        pts = self.cloud(base_pose, q)
+        w = jnp.ones(pts.shape[0])
+        return render.splat_depth(
+            pts, w, fx=fx, fy=fy, cx=cx, cy=cy, height=height, width=width,
+            radius=radius,
+        )
+
+    def depth_union(
+        self, base_pose: jax.Array, qs_clouds: jax.Array, *,
+        fx: float, fy: float, cx: float, cy: float, height: int, width: int,
+        radius: int = 1,
+    ) -> jax.Array:
+        """Conservative occluder depth: min-z over K sampled configs.
+
+        qs_clouds [K,Nh,3] from sampled_clouds (already camera frame).
+        """
+        pts = qs_clouds.reshape(-1, 3)
+        w = jnp.ones(pts.shape[0])
+        return render.splat_depth(
+            pts, w, fx=fx, fy=fy, cx=cx, cy=cy, height=height, width=width,
+            radius=radius,
+        )
+
+    def merged_mesh(self, q: np.ndarray) -> meshio.Mesh:
+        """Host-side posed hand mesh (for synthetic dataset rendering)."""
+        Ts = np.asarray(self.fk(jnp.asarray(q, jnp.float32)))
+        out: meshio.Mesh | None = None
+        for li, link in enumerate(self.links):
+            m = link.mesh.transformed(Ts[li])
+            out = m if out is None else out.merged(m)
+        assert out is not None
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Procedural Yale OpenHand T42-class gripper
+# ---------------------------------------------------------------------------
+
+def make_t42_hand(points_per_link: int = 256) -> HandModel:
+    """Two-finger underactuated gripper approximating the OpenHand T42.
+
+    Hand-base frame: palm center at origin, fingers extend along +z,
+    finger separation along x, joint axes along y. One actuated tendon
+    angle per finger (J=2); distal joints couple at 0.7x with a rest
+    curl, as in adaptive underactuated designs.
+    """
+    palm = meshio.make_box((0.075, 0.028, 0.04), center=(0.0, 0.0, 0.0))
+    prox = meshio.make_capsule(radius=0.010, length=0.050)
+    dist = meshio.make_capsule(radius=0.008, length=0.040)
+
+    def T(t, R=np.eye(3)):
+        M = np.eye(4, dtype=np.float32)
+        M[:3, :3] = R
+        M[:3, 3] = t
+        return M
+
+    links = [
+        HandLink("palm", palm, parent=-1, origin=T([0, 0, 0]), axis=np.zeros(3)),
+        # finger A (+x side) curls toward -x (axis +y)
+        HandLink("fA_prox", prox, parent=0, origin=T([+0.034, 0.0, 0.018]),
+                 axis=np.array([0, 1, 0]), joint=0, coupling=-1.0),
+        HandLink("fA_dist", dist, parent=1, origin=T([0.0, 0.0, 0.050]),
+                 axis=np.array([0, 1, 0]), joint=0, coupling=-0.7, rest=-0.15),
+        # finger B (-x side) curls toward +x (axis -y equivalent: +y, positive angle)
+        HandLink("fB_prox", prox, parent=0, origin=T([-0.034, 0.0, 0.018]),
+                 axis=np.array([0, 1, 0]), joint=1, coupling=+1.0),
+        HandLink("fB_dist", dist, parent=3, origin=T([0.0, 0.0, 0.050]),
+                 axis=np.array([0, 1, 0]), joint=1, coupling=+0.7, rest=0.15),
+    ]
+    return HandModel(links, n_joints=2, points_per_link=points_per_link)

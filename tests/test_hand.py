@@ -1,0 +1,84 @@
+"""Hand model tests: FK, segmentation, occlusion depth (SURVEY.md §3 L3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icra20_hand_object_pose_tpu.models.hand import make_t42_hand
+from icra20_hand_object_pose_tpu.utils import se3
+
+CAM = dict(fx=120.0, fy=120.0, cx=64.0, cy=48.0, height=96, width=128)
+
+
+def hand_cam_pose():
+    """Hand base 0.5m in front of camera, palm facing +z (fingers toward cam... away)."""
+    return se3.make_pose(jnp.eye(3), jnp.asarray([0.0, 0.0, 0.5]))
+
+
+def test_fk_zero_angles_layout():
+    hand = make_t42_hand(points_per_link=64)
+    Ts = np.asarray(hand.fk(jnp.zeros(2)))
+    assert Ts.shape == (5, 4, 4)
+    np.testing.assert_allclose(Ts[0], np.eye(4), atol=1e-6)
+    # proximal joints at +-0.034 in x, distal 0.05 further along +z
+    np.testing.assert_allclose(Ts[1][:3, 3], [0.034, 0, 0.018], atol=1e-6)
+    np.testing.assert_allclose(Ts[3][:3, 3], [-0.034, 0, 0.018], atol=1e-6)
+    assert Ts[2][2, 3] > Ts[1][2, 3] + 0.04
+
+
+def test_fingers_close_with_actuation():
+    hand = make_t42_hand(points_per_link=64)
+
+    def tip_gap(q):
+        Ts = hand.fk(jnp.asarray(q))
+        tipA = se3.transform_points(Ts[2], jnp.asarray([[0.0, 0.0, 0.04]]))[0]
+        tipB = se3.transform_points(Ts[4], jnp.asarray([[0.0, 0.0, 0.04]]))[0]
+        return float(jnp.linalg.norm(tipA - tipB))
+
+    open_gap = tip_gap([0.0, 0.0])
+    closed_gap = tip_gap([0.4, 0.4])
+    assert closed_gap < open_gap - 0.02
+
+
+def test_fk_is_jittable_and_vmappable():
+    hand = make_t42_hand(points_per_link=32)
+    f = jax.jit(jax.vmap(hand.fk))
+    qs = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (8, 2)), jnp.float32)
+    out = f(qs)
+    assert out.shape == (8, 5, 4, 4)
+
+
+def test_segment_mask_separates_hand_from_object():
+    hand = make_t42_hand(points_per_link=128)
+    base = hand_cam_pose()
+    clouds = hand.sampled_clouds(jax.random.key(0), base, jnp.asarray([0.4, 0.4]), 0.1, 4)
+    # "scene": some hand points (jittered) + a distant object blob between fingers
+    hand_pts = clouds[0, ::4] + 0.002
+    obj_pts = jnp.asarray(
+        np.random.default_rng(1).normal(size=(100, 3)).astype(np.float32) * 0.005
+        + np.array([0, 0, 0.62], np.float32)  # 12cm in front of palm, past fingertips
+    )
+    scene = jnp.concatenate([hand_pts, obj_pts])
+    mask = hand.segment_mask(scene, clouds, segment_dist=0.008)
+    m = np.asarray(mask)
+    assert m[: hand_pts.shape[0]].mean() > 0.95  # hand points flagged
+    assert m[hand_pts.shape[0]:].mean() < 0.05   # object kept
+
+
+def test_hand_depth_occludes():
+    hand = make_t42_hand(points_per_link=256)
+    base = hand_cam_pose()
+    d = hand.depth(base, jnp.asarray([0.3, 0.3]), **CAM)
+    dn = np.asarray(d)
+    assert np.isfinite(dn).sum() > 100  # palm visible
+    finite = dn[np.isfinite(dn)]
+    assert 0.4 < finite.min() < 0.56
+
+
+def test_sampled_clouds_nominal_first():
+    hand = make_t42_hand(points_per_link=32)
+    base = hand_cam_pose()
+    q = jnp.asarray([0.5, 0.5])
+    clouds = hand.sampled_clouds(jax.random.key(1), base, q, 0.2, 3)
+    nominal = hand.cloud(base, q)
+    np.testing.assert_allclose(np.asarray(clouds[0]), np.asarray(nominal), atol=1e-6)
+    assert float(jnp.abs(clouds[1] - nominal).max()) > 1e-4  # others differ
