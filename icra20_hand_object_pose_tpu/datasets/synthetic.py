@@ -1,0 +1,149 @@
+"""Synthetic grasp-sequence generator.
+
+The reference validates against its released RGB-D dataset of objects
+grasped by a Yale OpenHand T42 (SURVEY.md §5). That dataset is not
+available in this environment, so this module generates equivalent
+sequences with EXACT ground truth: the object and posed hand meshes are
+triangle-rasterized (ops/render.raster_depth — perspective-correct,
+generator-grade) into depth frames, optionally with sensor noise and
+dropout, as a hand-held object translates/rotates through the sequence.
+
+Ground truth being exact makes ADD/ADD-S measurable to machine
+precision — the parity strategy of SURVEY.md §5 items 2-4.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hand import HandModel
+from ..ops import render
+from ..utils import meshio, se3
+from ..utils.config import CameraIntrinsics
+
+
+class SyntheticFrame(NamedTuple):
+    depth: np.ndarray        # [H,W] float32 meters, 0 = invalid
+    pose_gt: np.ndarray      # [4,4] object model->camera
+    hand_base: np.ndarray    # [4,4] hand base->camera
+    hand_q: np.ndarray       # [J] nominal joint angles
+
+
+@dataclass
+class SyntheticSequenceConfig:
+    n_frames: int = 8
+    camera: CameraIntrinsics = field(default_factory=CameraIntrinsics)
+    object_start: np.ndarray | None = None   # [4,4]; default 0.5m ahead
+    step_rot_deg: float = 2.0                # per-frame object rotation
+    step_trans: float = 0.004                # per-frame translation (m)
+    hand_q: tuple = (0.45, 0.45)             # grasp closure angles
+    hand_q_true_offset: float = 0.05         # actual-vs-nominal joint error
+    noise_sigma: float = 0.001               # depth noise (m)
+    dropout: float = 0.02                    # invalid-pixel fraction
+    seed: int = 0
+
+
+def default_object_pose(z: float = 0.5) -> np.ndarray:
+    T = np.eye(4, dtype=np.float32)
+    T[:3, 3] = [0.0, 0.0, z]
+    return T
+
+
+def render_frame(
+    object_mesh: meshio.Mesh,
+    object_pose: np.ndarray,
+    hand: HandModel | None,
+    hand_base: np.ndarray,
+    hand_q: np.ndarray,
+    cam: CameraIntrinsics,
+    *,
+    noise_sigma: float = 0.0,
+    dropout: float = 0.0,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Exact depth render of object + posed hand, with sensor model."""
+    scene = object_mesh.transformed(object_pose)
+    if hand is not None:
+        scene = scene.merged(hand.merged_mesh(np.asarray(hand_q)).transformed(hand_base))
+    d = render.raster_depth(
+        jnp.asarray(scene.vertices, jnp.float32),
+        jnp.asarray(scene.faces, jnp.int32),
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+        height=cam.height, width=cam.width,
+    )
+    d = np.array(d)  # writable host copy
+    d[~np.isfinite(d)] = 0.0
+    if rng is None:
+        rng = np.random.default_rng(0)
+    if noise_sigma > 0:
+        d = np.where(d > 0, d + rng.normal(0, noise_sigma, d.shape), 0.0)
+    if dropout > 0:
+        d = np.where(rng.random(d.shape) < dropout, 0.0, d)
+    return d.astype(np.float32)
+
+
+def hand_base_for_grasp(object_pose: np.ndarray, offset: float = 0.10) -> np.ndarray:
+    """Grasp from the side: palm on the camera's -x side of the object,
+    hand +z (finger direction) pointing at the object, finger-separation
+    axis (hand x) along the camera view axis — so one finger sits between
+    the camera and the object, partially occluding it. This reproduces
+    the finger-occlusion scenario the reference is built around without
+    the palm blocking the whole view."""
+    T = np.asarray(object_pose, np.float32)
+    c = T[:3, 3]
+    x_h = np.array([0.0, 0.0, -1.0], np.float32)   # toward camera
+    y_h = np.array([0.0, 1.0, 0.0], np.float32)
+    z_h = np.array([1.0, 0.0, 0.0], np.float32)    # palm -> object
+    R = np.stack([x_h, y_h, z_h], axis=1)
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = R
+    out[:3, 3] = c - z_h * offset
+    return out
+
+
+def generate_sequence(
+    object_mesh: meshio.Mesh,
+    hand: HandModel | None,
+    cfg: SyntheticSequenceConfig,
+) -> list[SyntheticFrame]:
+    """A rigid grasp moving through space: hand and object move together
+    (the grasped-object scenario of the reference), exact GT every frame."""
+    rng = np.random.default_rng(cfg.seed)
+    pose = (
+        np.asarray(cfg.object_start, np.float32)
+        if cfg.object_start is not None
+        else default_object_pose()
+    )
+    q_nom = np.asarray(cfg.hand_q, np.float32)
+    q_true = q_nom + cfg.hand_q_true_offset
+    frames = []
+    step_w = rng.normal(size=3)
+    step_w = step_w / np.linalg.norm(step_w) * np.radians(cfg.step_rot_deg)
+    step_v = rng.normal(size=3)
+    step_v = step_v / np.linalg.norm(step_v) * cfg.step_trans
+    delta = np.asarray(
+        se3.se3_exp(jnp.asarray(np.concatenate([step_w, step_v]), jnp.float32))
+    )
+    for i in range(cfg.n_frames):
+        hb = hand_base_for_grasp(pose)
+        depth = render_frame(
+            object_mesh, pose, hand, hb, q_true, cfg.camera,
+            noise_sigma=cfg.noise_sigma, dropout=cfg.dropout, rng=rng,
+        )
+        frames.append(
+            SyntheticFrame(
+                depth=depth, pose_gt=pose.copy(), hand_base=hb, hand_q=q_nom
+            )
+        )
+        # rigid motion about the object's own center
+        c = pose[:3, 3].copy()
+        A = np.eye(4, dtype=np.float32)
+        A[:3, 3] = c
+        B = np.eye(4, dtype=np.float32)
+        B[:3, 3] = -c
+        pose = (A @ delta @ B @ pose).astype(np.float32)
+    return frames

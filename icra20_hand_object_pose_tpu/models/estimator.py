@@ -1,0 +1,322 @@
+"""Per-frame pose estimator and sequence tracker.
+
+TPU-native rebuild of the reference's PoseEstimator + main-loop driver
+(SURVEY.md §4.1-§4.4). The entire per-frame pipeline — hand FK +
+segmentation, fused depth preprocessing, swarm init, the full PSO loop
+with in-loop batched ICP, render-and-compare scoring with finger
+occlusion masks, global-best selection — is ONE jit-compiled device
+program (`_frame_step`): one host->device crossing per frame versus the
+reference's O(particles * iterations) GL dispatches (SURVEY.md §4.2).
+
+Public API mirrors the reference's surface (BASELINE north star: "load
+object mesh + hand model -> feed depth frames -> SE(3) pose per frame"):
+
+    est = Estimator(ObjectModel.load("obj.ply"), make_t42_hand(), cfg)
+    tracker = Tracker(est)
+    for depth in frames:
+        out = tracker.step(depth, hand_base_pose, hand_q)
+        out.pose  # [4,4] model->camera
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import knn, preprocess, pso, render
+from ..utils import se3
+from ..utils.config import EstimatorConfig
+from .hand import HandModel
+from .object_model import ObjectModel
+
+
+class FrameResult(NamedTuple):
+    pose: jax.Array           # [4,4] model->camera
+    fitness: jax.Array        # scalar, higher better
+    coverage: jax.Array       # scalar in [0,1]
+    fitness_trace: jax.Array  # [pso_iters]
+    n_scene: jax.Array        # scalar, surviving scene points
+
+
+class Estimator:
+    """One object + one hand + one camera, compiled once per swarm size."""
+
+    def __init__(
+        self,
+        obj: ObjectModel,
+        hand: HandModel | None,
+        cfg: EstimatorConfig = EstimatorConfig(),
+        nn_fn=None,
+    ):
+        self.obj = obj
+        self.hand = hand if (hand is not None and cfg.hand.enabled) else None
+        self.cfg = cfg
+        self.nn_fn = nn_fn
+        cam = cfg.camera
+        # low-res raster grid for render-and-compare (integer min-pool factor)
+        self.render_factor = max(1, cam.height // cfg.render_size)
+        self.lo_h = cam.height // self.render_factor
+        self.lo_w = cam.width // self.render_factor
+        self.lo_fx = cam.fx / self.render_factor
+        self.lo_fy = cam.fy / self.render_factor
+        self.lo_cx = cam.cx / self.render_factor
+        self.lo_cy = cam.cy / self.render_factor
+        # one jit per (n_particles,) — track and init modes compile separately
+        self._step_jit = jax.jit(
+            self._frame_step, static_argnames=("n_particles", "pso_iters")
+        )
+
+    # -- traced frame program ------------------------------------------------
+
+    def _hand_tensors(self, key, hand_base, hand_q):
+        """Sampled hand clouds -> (full-res drop mask, low-res occluder depth,
+        flat hand cloud for point-level segmentation)."""
+        cfg = self.cfg
+        cam = cfg.camera
+        clouds = self.hand.sampled_clouds(
+            key, hand_base, hand_q, cfg.hand.joint_sigma, cfg.hand.config_samples
+        )                                             # [K,Nh,3]
+        flat = clouds.reshape(-1, 3)
+        w = jnp.ones(flat.shape[0], flat.dtype)
+        # Full-res hand depth: classifies pixels (hand itself, or behind a
+        # finger -> unreliable) for preprocessing drop.
+        hd_full = render.splat_depth(
+            flat, w, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            height=cam.height, width=cam.width, radius=2,
+        )
+        # Low-res conservative occluder depth for render-and-compare.
+        hd_lo = render.splat_depth(
+            flat, w, fx=self.lo_fx, fy=self.lo_fy, cx=self.lo_cx, cy=self.lo_cy,
+            height=self.lo_h, width=self.lo_w, radius=1,
+        )
+        return hd_full, hd_lo, flat
+
+    def _frame_step(
+        self,
+        key: jax.Array,
+        depth_m: jax.Array,       # [H,W] meters
+        prev_pose: jax.Array,     # [4,4]
+        hand_base: jax.Array,     # [4,4]
+        hand_q: jax.Array,        # [J]
+        rot_sigma: jax.Array,     # traced: swarm init spread
+        trans_sigma: jax.Array,
+        uniform_rot: jax.Array,   # traced bool: global-init orientation prior
+        roi_radius: jax.Array,    # traced: workspace crop radius (inf = off)
+        *,
+        n_particles: int,
+        pso_iters: int,
+    ) -> FrameResult:
+        cfg = self.cfg
+        cam = cfg.camera
+        k_hand, k_pre, k_init, k_pso = jax.random.split(key, 4)
+
+        # 1. hand: FK under actuation uncertainty -> masks (SURVEY.md §2 L3).
+        if self.hand is not None:
+            hd_full, hd_lo, hand_flat = self._hand_tensors(k_hand, hand_base, hand_q)
+            seg = cfg.hand.segment_dist
+            # drop pixels on or behind the rendered hand
+            extra_invalid = jnp.isfinite(hd_full) & (depth_m > hd_full - seg)
+        else:
+            hd_lo = jnp.full((self.lo_h, self.lo_w), jnp.inf, depth_m.dtype)
+            hand_flat = None
+            extra_invalid = None
+
+        # 2. fused preprocessing: backproject + normals + subsample (L2).
+        scene = preprocess.preprocess_frame(
+            k_pre, depth_m,
+            fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+            depth_min=cfg.depth_min, depth_max=cfg.depth_max,
+            n_points=cfg.scene_points, render_factor=self.render_factor,
+            extra_invalid=extra_invalid,
+        )
+        weights = scene.weights
+        # exact point-level hand removal on the subsampled cloud (MXU
+        # distance matrix, SURVEY.md §3 "Hand segmentation")
+        if hand_flat is not None:
+            d2h = knn.pairwise_sqdist(scene.points, hand_flat)
+            is_hand = jnp.min(d2h, axis=-1) < cfg.hand.segment_dist**2
+            weights = weights * (~is_hand)
+        # workspace crop around the track (reference crops to a hand-centric
+        # region of interest before ICP)
+        roi_center = prev_pose[:3, 3]
+        d2c = jnp.sum((scene.points - roi_center) ** 2, axis=-1)
+        weights = weights * (d2c < roi_radius * roi_radius)
+
+        # 3. swarm init: perturbations of prev_pose, or (global re-init)
+        #    random orientations at the observed centroid.
+        wsum = jnp.maximum(jnp.sum(weights), 1e-9)
+        centroid = jnp.sum(scene.points * weights[:, None], 0) / wsum
+        kp = jax.random.split(k_init, n_particles)
+        tracked = jax.vmap(
+            lambda kk: se3.perturb_pose(kk, prev_pose, rot_sigma, trans_sigma)
+        )(kp)
+        kq, kt = jax.random.split(k_init)
+        rand_R = se3.random_rotation(kq, (n_particles,))
+        rand_t = centroid[None] + jax.random.normal(kt, (n_particles, 3)) * trans_sigma
+        global_init = se3.make_pose(rand_R, rand_t)
+        poses0 = jnp.where(uniform_rot, global_init, tracked)
+
+        # 4. the PSO + ICP + render-and-compare device loop (L4).
+        pso_cfg = dataclasses.replace(
+            self.cfg.pso, particles=n_particles, iters=pso_iters
+        )
+        result = pso.pso(
+            k_pso, poses0,
+            scene.points, scene.normals, weights,
+            self.obj.model_pts, self.obj.model_normals,
+            self.obj.render_pts, self.obj.render_w,
+            scene.depth, scene.valid, hd_lo,
+            fx=self.lo_fx, fy=self.lo_fy, cx=self.lo_cx, cy=self.lo_cy,
+            height=self.lo_h, width=self.lo_w,
+            splat_radius=1,
+            pso_cfg=pso_cfg, icp_cfg=cfg.icp, score_cfg=cfg.score,
+            nn_fn=self.nn_fn,
+        )
+        return FrameResult(
+            pose=result.best_pose,
+            fitness=result.best_fitness,
+            coverage=result.best_coverage,
+            fitness_trace=result.fitness_trace,
+            n_scene=jnp.sum(weights),
+        )
+
+    # -- public API ----------------------------------------------------------
+
+    def estimate(
+        self,
+        depth_m: jax.Array,
+        prev_pose: jax.Array,
+        hand_base: jax.Array | None = None,
+        hand_q: jax.Array | None = None,
+        key: jax.Array | None = None,
+        *,
+        mode: str = "track",
+    ) -> FrameResult:
+        """One frame -> SE(3). mode='track' perturbs prev_pose; mode='init'
+        runs the broad global search (first frame / tracking-loss recovery,
+        SURVEY.md §4.3)."""
+        cfg = self.cfg
+        if key is None:
+            key = jax.random.key(0)
+        J = self.hand.n_joints if self.hand is not None else 1
+        if hand_base is None:
+            hand_base = jnp.eye(4)
+        if hand_q is None:
+            hand_q = jnp.zeros((J,))
+        tr = cfg.tracker
+        if mode == "track":
+            args = dict(
+                rot_sigma=cfg.pso.rot_sigma, trans_sigma=cfg.pso.trans_sigma,
+                uniform_rot=False,
+                roi_radius=max(1.5 * self.obj.diameter, 3.0 * cfg.pso.trans_sigma),
+                n_particles=cfg.pso.particles, pso_iters=cfg.pso.iters,
+            )
+        elif mode == "init":
+            args = dict(
+                rot_sigma=tr.reinit_rot_sigma, trans_sigma=tr.reinit_trans_sigma,
+                uniform_rot=True,
+                roi_radius=np.inf,
+                n_particles=tr.reinit_particles,
+                pso_iters=max(cfg.pso.iters, 2 * cfg.pso.iters),
+            )
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        return self._step_jit(
+            key, depth_m, prev_pose, hand_base, hand_q,
+            jnp.asarray(args["rot_sigma"], jnp.float32),
+            jnp.asarray(args["trans_sigma"], jnp.float32),
+            jnp.asarray(args["uniform_rot"]),
+            jnp.asarray(args["roi_radius"], jnp.float32),
+            n_particles=args["n_particles"],
+            pso_iters=args["pso_iters"],
+        )
+
+
+class TrackerState(NamedTuple):
+    """Small pytree — the whole resumable tracker state (SURVEY.md §6
+    checkpoint/resume)."""
+    pose: jax.Array        # [4,4] last committed pose
+    frame_idx: jax.Array   # int32
+    key: jax.Array         # rng key
+    initialized: jax.Array  # bool
+    fitness: jax.Array     # last frame's fitness
+
+
+class TrackResult(NamedTuple):
+    pose: jax.Array
+    fitness: jax.Array
+    coverage: jax.Array
+    reinitialized: bool
+    frame_idx: int
+
+
+class Tracker:
+    """Frame-to-frame propagation + re-registration watchdog (§4.4).
+
+    Host-side loop carrying TrackerState; falls back to global
+    re-initialization when fitness collapses (BASELINE config 4)."""
+
+    def __init__(self, est: Estimator, seed: int = 0):
+        self.est = est
+        self.state = TrackerState(
+            pose=jnp.eye(4),
+            frame_idx=jnp.asarray(0, jnp.int32),
+            key=jax.random.key(seed),
+            initialized=jnp.asarray(False),
+            fitness=jnp.asarray(0.0),
+        )
+
+    def step(
+        self,
+        depth_m: jax.Array,
+        hand_base: jax.Array | None = None,
+        hand_q: jax.Array | None = None,
+    ) -> TrackResult:
+        st = self.state
+        key, sub = jax.random.split(st.key)
+        need_init = (not bool(st.initialized)) or (
+            float(st.fitness) < self.est.cfg.tracker.fitness_reinit_threshold
+            and bool(st.initialized)
+        )
+        mode = "init" if need_init else "track"
+        out = self.est.estimate(
+            depth_m, st.pose, hand_base, hand_q, key=sub, mode=mode
+        )
+        self.state = TrackerState(
+            pose=out.pose,
+            frame_idx=st.frame_idx + 1,
+            key=key,
+            initialized=jnp.asarray(True),
+            fitness=out.fitness,
+        )
+        return TrackResult(
+            pose=out.pose, fitness=out.fitness, coverage=out.coverage,
+            reinitialized=need_init, frame_idx=int(st.frame_idx),
+        )
+
+    # -- checkpoint / resume (SURVEY.md §6) ----------------------------------
+
+    def save(self, path: str) -> None:
+        st = self.state
+        np.savez(
+            path,
+            pose=np.asarray(st.pose),
+            frame_idx=np.asarray(st.frame_idx),
+            key=np.asarray(jax.random.key_data(st.key)),
+            initialized=np.asarray(st.initialized),
+            fitness=np.asarray(st.fitness),
+        )
+
+    def load(self, path: str) -> None:
+        z = np.load(path)
+        self.state = TrackerState(
+            pose=jnp.asarray(z["pose"]),
+            frame_idx=jnp.asarray(z["frame_idx"]),
+            key=jax.random.wrap_key_data(jnp.asarray(z["key"])),
+            initialized=jnp.asarray(bool(z["initialized"])),
+            fitness=jnp.asarray(z["fitness"]),
+        )

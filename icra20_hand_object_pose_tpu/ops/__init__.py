@@ -1,1 +1,1 @@
-from . import camera, preprocess  # noqa: F401
+from . import camera, icp, knn, preprocess, pso, render, score  # noqa: F401

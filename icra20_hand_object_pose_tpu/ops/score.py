@@ -19,9 +19,16 @@ Fitness is HIGHER-better in [~ -wrong_side_penalty, 1]:
     - observed valid, d_r > d_obs + tau: hypothesis behind an observed
       surface that segmentation did not assign to the hand: counted,
       no support.
-    - observed invalid (sensor dropout): EXCLUDED.
+    - observed invalid (no depth return): GHOST pixel — the hypothesis
+      renders where the camera measured nothing. For a depth camera,
+      no-return over the working range is (weak) negative evidence, so
+      ghosts enter the denominator with a small penalty. Without this a
+      pose drifting into unobserved space sheds all its evidence pixels
+      and scores near-perfect on the few that remain (observed failure
+      mode: 71mm-wrong pose, fitness 0.99, coverage 0.007).
 
-  fitness = (sum support - wrong_side_penalty * n_wrong) / n_counted
+  fitness = (sum support - wrong_side_penalty * n_wrong
+             - invalid_penalty * n_ghost) / n_counted
   coverage = n_support / n_object_pixels_observed  (how much of the
   observed object cloud the hypothesis explains; used by the tracking
   watchdog, BASELINE config 4).
@@ -50,6 +57,7 @@ def compare_depth(
     depth_tau: float = 0.01,
     wrong_side_penalty: float = 2.0,
     occlusion_margin: float = 0.005,
+    invalid_penalty: float = 0.3,
 ) -> ScoreTerms:
     """Score rendered depth(s) against one observed frame. Broadcasts over
     leading particle axes of `rendered`."""
@@ -69,14 +77,18 @@ def compare_depth(
     counted_px = visible & observed_valid
     match = counted_px & (absdiff < depth_tau)
     wrong = counted_px & (diff < -depth_tau)      # floats in front of evidence
+    ghost = visible & (~observed_valid)           # renders over no-return
 
     support_px = jnp.where(match, 1.0 - absdiff / depth_tau, 0.0)
     axes = (-1, -2)
     support = jnp.sum(support_px, axis=axes)
     n_wrong = jnp.sum(wrong.astype(rendered.dtype), axis=axes)
-    n_counted = jnp.sum(counted_px.astype(rendered.dtype), axis=axes)
+    n_ghost = jnp.sum(ghost.astype(rendered.dtype), axis=axes)
+    n_counted = jnp.sum(counted_px.astype(rendered.dtype), axis=axes) + n_ghost
 
-    fitness = (support - wrong_side_penalty * n_wrong) / jnp.maximum(n_counted, 1.0)
+    fitness = (
+        support - wrong_side_penalty * n_wrong - invalid_penalty * n_ghost
+    ) / jnp.maximum(n_counted, 1.0)
     # padding/degenerate renders (nothing visible) must lose to anything real
     fitness = jnp.where(n_counted > 0, fitness, -wrong_side_penalty)
 

@@ -76,6 +76,7 @@ class ScoreConfig:
     wrong_side_penalty: float = 2.0     # rendered in front of observed
     occlusion_margin: float = 0.005     # meters; hand-occlusion z-test margin
     coverage_weight: float = 0.5        # reward for explaining observed pixels
+    invalid_penalty: float = 0.3        # rendered over no-return pixels
 
 
 @dataclass(frozen=True)

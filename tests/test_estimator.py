@@ -1,0 +1,156 @@
+"""End-to-end Estimator/Tracker integration tests (SURVEY.md §5 item 4,
+BASELINE configs 3-4): synthetic grasp frames with exact ground truth,
+hand occlusion included. Sizes shrunk for CPU test time."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icra20_hand_object_pose_tpu.datasets import synthetic
+from icra20_hand_object_pose_tpu.models import (
+    Estimator, ObjectModel, Tracker, make_t42_hand,
+)
+from icra20_hand_object_pose_tpu.utils import meshio, se3
+from icra20_hand_object_pose_tpu.utils.config import (
+    CameraIntrinsics, EstimatorConfig, HandConfig, IcpConfig, PsoConfig,
+    TrackerConfig,
+)
+
+CAM = CameraIntrinsics(fx=160.0, fy=160.0, cx=80.0, cy=60.0, width=160, height=120)
+
+
+def small_config(**over):
+    base = dict(
+        camera=CAM,
+        icp=IcpConfig(iters=10, max_corresp_dist=0.05),
+        pso=PsoConfig(particles=24, iters=4, rot_sigma=0.10, trans_sigma=0.012,
+                      icp_every=1, icp_iters_inner=4, elite_frac=0.25),
+        hand=HandConfig(config_samples=4),
+        tracker=TrackerConfig(reinit_particles=64),
+        scene_points=768,
+        model_points=256,
+        render_size=60,
+        depth_min=0.05,
+        depth_max=2.0,
+    )
+    base.update(over)
+    return EstimatorConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = meshio.make_test_object("box")
+    obj = ObjectModel(mesh, model_points=256, render_points=512)
+    hand = make_t42_hand(points_per_link=128)
+    cfg = small_config()
+    scfg = synthetic.SyntheticSequenceConfig(
+        n_frames=3, camera=CAM, noise_sigma=0.0008, dropout=0.01, seed=3,
+        step_rot_deg=2.0, step_trans=0.003,
+    )
+    frames = synthetic.generate_sequence(mesh, hand, scfg)
+    return dict(mesh=mesh, obj=obj, hand=hand, cfg=cfg, frames=frames)
+
+
+def test_track_single_frame(setup):
+    """Perturbed previous pose -> estimator recovers GT within a few mm,
+    with the hand occluding part of the object."""
+    est = Estimator(setup["obj"], setup["hand"], setup["cfg"])
+    f = setup["frames"][0]
+    T_gt = jnp.asarray(f.pose_gt)
+    key = jax.random.key(0)
+    T0 = se3.perturb_pose(key, T_gt, 0.08, 0.01)
+    out = est.estimate(
+        jnp.asarray(f.depth), T0,
+        jnp.asarray(f.hand_base), jnp.asarray(f.hand_q),
+        key=jax.random.key(1),
+    )
+    adds = se3.add_s_error(out.pose, T_gt, setup["obj"].model_pts)
+    assert float(adds) < 0.006, f"ADD-S {float(adds)*1000:.2f}mm"
+    assert float(out.n_scene) > 50  # segmentation left object points
+
+
+def test_hand_segmentation_removes_hand_points(setup):
+    """With the hand enabled, the scene the ICP sees must not contain
+    hand surface points (they would drag the object pose)."""
+    est = Estimator(setup["obj"], setup["hand"], setup["cfg"])
+    f = setup["frames"][0]
+    # frame with NO object: only the hand in view
+    hand_only = synthetic.render_frame(
+        meshio.make_box((1e-4, 1e-4, 1e-4), center=(10, 10, 10)),  # off-scene
+        np.eye(4, dtype=np.float32),
+        setup["hand"], f.hand_base, np.asarray(f.hand_q) + 0.05, CAM,
+        noise_sigma=0.0,
+    )
+    T_gt = jnp.asarray(f.pose_gt)
+    out = est.estimate(
+        jnp.asarray(hand_only), T_gt,
+        jnp.asarray(f.hand_base), jnp.asarray(f.hand_q),
+        key=jax.random.key(2),
+    )
+    # nearly all points should be segmented away as hand
+    assert float(out.n_scene) < 60, float(out.n_scene)
+
+
+def test_tracker_sequence(setup):
+    """Frame-to-frame tracking over a moving grasp: first frame global
+    init, subsequent frames tracked, ADD-S stays small.
+
+    Uses the ellipsoid object: a depth view of a box is genuinely
+    ambiguous about its hidden extent (a wrong pose can outscore GT),
+    which would test the sensor, not the tracker."""
+    cfg = setup["cfg"]
+    mesh = meshio.make_test_object("ellipsoid")
+    obj = ObjectModel(mesh, model_points=256, render_points=512)
+    scfg = synthetic.SyntheticSequenceConfig(
+        n_frames=3, camera=CAM, noise_sigma=0.0008, dropout=0.01, seed=3,
+        step_rot_deg=2.0, step_trans=0.003,
+    )
+    frames = synthetic.generate_sequence(mesh, setup["hand"], scfg)
+    est = Estimator(obj, setup["hand"], cfg)
+    tracker = Tracker(est, seed=0)
+    errs = []
+    for i, f in enumerate(frames):
+        out = tracker.step(
+            jnp.asarray(f.depth), jnp.asarray(f.hand_base), jnp.asarray(f.hand_q)
+        )
+        adds = float(se3.add_s_error(out.pose, jnp.asarray(f.pose_gt),
+                                     obj.model_pts))
+        errs.append(adds)
+        if i == 0:
+            assert out.reinitialized
+    assert errs[-1] < 0.010, [e * 1000 for e in errs]
+
+
+def test_tracker_checkpoint_roundtrip(tmp_path, setup):
+    est = Estimator(setup["obj"], setup["hand"], setup["cfg"])
+    t1 = Tracker(est, seed=0)
+    f = setup["frames"][0]
+    t1.step(jnp.asarray(f.depth), jnp.asarray(f.hand_base), jnp.asarray(f.hand_q))
+    p = str(tmp_path / "ckpt.npz")
+    t1.save(p)
+    t2 = Tracker(est, seed=99)
+    t2.load(p)
+    assert np.allclose(np.asarray(t1.state.pose), np.asarray(t2.state.pose))
+    assert int(t2.state.frame_idx) == 1
+    # resumed tracker continues identically
+    f2 = setup["frames"][1]
+    o1 = t1.step(jnp.asarray(f2.depth), jnp.asarray(f2.hand_base), jnp.asarray(f2.hand_q))
+    o2 = t2.step(jnp.asarray(f2.depth), jnp.asarray(f2.hand_base), jnp.asarray(f2.hand_q))
+    assert np.allclose(np.asarray(o1.pose), np.asarray(o2.pose), atol=1e-5)
+
+
+def test_watchdog_reinit(setup):
+    """Fitness collapse (empty frame) must trigger global re-registration
+    on the following frame (SURVEY.md §6 failure detection)."""
+    est = Estimator(setup["obj"], setup["hand"], setup["cfg"])
+    tracker = Tracker(est, seed=0)
+    f = setup["frames"][0]
+    tracker.step(jnp.asarray(f.depth), jnp.asarray(f.hand_base), jnp.asarray(f.hand_q))
+    empty = jnp.zeros_like(jnp.asarray(f.depth))
+    tracker.step(empty, jnp.asarray(f.hand_base), jnp.asarray(f.hand_q))
+    out = tracker.step(
+        jnp.asarray(f.depth), jnp.asarray(f.hand_base), jnp.asarray(f.hand_q)
+    )
+    assert out.reinitialized

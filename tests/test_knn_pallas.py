@@ -1,0 +1,73 @@
+"""Fused Pallas NN kernel vs the dense jnp oracle (SURVEY.md §8 hard
+part 2). Runs in interpreter mode on the CPU test mesh; the same code
+compiles on TPU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icra20_hand_object_pose_tpu.ops import knn, knn_pallas
+
+
+def rand_clouds(key, P, Ns, Nm, scale=0.3):
+    kq, kr = jax.random.split(key)
+    q = jax.random.uniform(kq, (P, Ns, 3), minval=-scale, maxval=scale)
+    r = jax.random.uniform(kr, (P, Nm, 3), minval=-scale, maxval=scale)
+    return q, r
+
+
+@pytest.mark.parametrize("P,Ns,Nm", [(1, 64, 128), (2, 100, 200), (3, 256, 1024)])
+def test_matches_dense(P, Ns, Nm):
+    q, r = rand_clouds(jax.random.key(0), P, Ns, Nm)
+    idx, d2 = knn_pallas.nn_batched(q, r, tile_s=64, tile_m=128, interpret=True)
+    for p in range(P):
+        ref_idx, ref_d2 = knn.nn(q[p], r[p])
+        # ties can differ in index; distances must agree
+        np.testing.assert_allclose(np.asarray(d2[p]), np.asarray(ref_d2),
+                                   rtol=1e-4, atol=1e-9)
+        agree = np.mean(np.asarray(idx[p]) == np.asarray(ref_idx))
+        assert agree > 0.99, agree
+
+
+def test_unaligned_sizes_padded_correctly():
+    """Ns/Nm not multiples of the tiles: padding refs must never win."""
+    q, r = rand_clouds(jax.random.key(1), 1, 37, 73)
+    idx, d2 = knn_pallas.nn_batched(q, r, tile_s=32, tile_m=64, interpret=True)
+    assert int(jnp.max(idx)) < 73
+    ref_idx, ref_d2 = knn.nn(q[0], r[0])
+    np.testing.assert_allclose(np.asarray(d2[0]), np.asarray(ref_d2),
+                               rtol=1e-4, atol=1e-9)
+
+
+def test_nn_fn_under_vmap_in_icp():
+    """The make_nn_fn drop-in must work inside the vmapped ICP."""
+    from icra20_hand_object_pose_tpu.ops import icp
+    from icra20_hand_object_pose_tpu.utils import meshio, se3
+
+    mesh = meshio.make_test_object("box")
+    mpts, mnrm = mesh.sample_surface(128, seed=0)
+    mpts, mnrm = jnp.asarray(mpts), jnp.asarray(mnrm)
+    T_gt = se3.make_pose(jnp.eye(3), jnp.asarray([0.0, 0.0, 0.4]))
+    scene = se3.transform_points(T_gt, mpts)
+    snrm = se3.rotate_vectors(T_gt, mnrm)
+    w = jnp.ones(scene.shape[0])
+
+    keys = jax.random.split(jax.random.key(2), 4)
+    poses0 = jax.vmap(lambda k: se3.perturb_pose(k, T_gt, 0.05, 0.008))(keys)
+
+    nn_fn = knn_pallas.make_nn_fn(tile_s=64, tile_m=64, interpret=True)
+    refined, stats = icp.icp_batched(
+        poses0, scene, snrm, w, mpts, mnrm,
+        iters=10, max_corresp_dist=0.05, nn_fn=nn_fn,
+    )
+    errs = jax.vmap(lambda T: se3.add_error(T, T_gt, mpts))(refined)
+    assert float(jnp.max(errs)) < 0.002, np.asarray(errs)
+
+
+def test_exact_distances_value():
+    """Hand-checkable tiny case."""
+    q = jnp.asarray([[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0]]])
+    r = jnp.asarray([[[0.0, 0.0, 0.1], [1.0, 0.0, 0.2], [5.0, 5.0, 5.0]]])
+    idx, d2 = knn_pallas.nn_batched(q, r, tile_s=8, tile_m=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx[0]), [0, 1])
+    np.testing.assert_allclose(np.asarray(d2[0]), [0.01, 0.04], rtol=1e-5)

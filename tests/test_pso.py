@@ -1,0 +1,126 @@
+"""PSO swarm optimizer tests (SURVEY.md §5 item 4, BASELINE config 3).
+
+Synthetic setup: object-only scene rendered from a known GT pose; the
+swarm must recover it from a perturbed start. Small sizes for CPU.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icra20_hand_object_pose_tpu.ops import pso, render
+from icra20_hand_object_pose_tpu.utils import meshio, se3
+from icra20_hand_object_pose_tpu.utils.config import IcpConfig, PsoConfig, ScoreConfig
+
+CAM = dict(fx=80.0, fy=80.0, cx=40.0, cy=30.0, height=60, width=80)
+
+
+def make_problem(key, rot_deg=12.0, trans=0.02):
+    mesh = meshio.make_test_object("box")
+    mpts, mnrm = mesh.sample_surface(256, seed=0)
+    mpts = jnp.asarray(mpts)
+    mnrm = jnp.asarray(mnrm)
+    rpts, _ = mesh.sample_surface(512, seed=1)
+    rpts = jnp.asarray(rpts)
+    rw = jnp.ones(512)
+
+    T_gt = jnp.asarray(se3.make_pose(jnp.eye(3), jnp.asarray([0.0, 0.0, 0.4])))
+    # observed scene: GT-posed model points; observed depth = splat of them
+    scene_pts = se3.transform_points(T_gt, rpts)
+    obs = render.splat_depth(scene_pts, rw, radius=1, **CAM)
+    obs_valid = jnp.isfinite(obs)
+    obs = jnp.where(obs_valid, obs, 0.0)
+    hand_depth = jnp.full((CAM["height"], CAM["width"]), jnp.inf)
+
+    k1, k2 = jax.random.split(key)
+    w = jax.random.normal(k1, (3,))
+    w = w / jnp.linalg.norm(w) * jnp.radians(rot_deg)
+    v = jax.random.normal(k2, (3,))
+    v = v / jnp.linalg.norm(v) * trans
+    T0 = se3.apply_twist_about(jnp.concatenate([w, v]), T_gt, T_gt[:3, 3])
+
+    scene_icp = se3.transform_points(T_gt, mpts)
+    scene_nrm = se3.rotate_vectors(T_gt, mnrm)
+    return dict(
+        mesh=mesh, model_pts=mpts, model_normals=mnrm,
+        render_pts=rpts, render_w=rw,
+        T_gt=T_gt, T0=T0,
+        scene_pts=scene_icp, scene_normals=scene_nrm,
+        scene_weights=jnp.ones(scene_icp.shape[0]),
+        obs=obs, obs_valid=obs_valid, hand_depth=hand_depth,
+    )
+
+
+def run_pso(p, key, particles=16, iters=4, **over):
+    poses0 = jax.vmap(
+        lambda k: se3.perturb_pose(k, p["T0"], 0.05, 0.01)
+    )(jax.random.split(key, particles))
+    cfgs = dict(
+        pso_cfg=PsoConfig(
+            particles=particles, iters=iters, rot_sigma=0.08, trans_sigma=0.01,
+            sigma_decay=0.7, icp_every=1, icp_iters_inner=4, elite_frac=0.25,
+        ),
+        icp_cfg=IcpConfig(iters=10, max_corresp_dist=0.05),
+        score_cfg=ScoreConfig(),
+    )
+    cfgs.update(over)
+    return pso.pso(
+        key, poses0,
+        p["scene_pts"], p["scene_normals"], p["scene_weights"],
+        p["model_pts"], p["model_normals"],
+        p["render_pts"], p["render_w"],
+        p["obs"], p["obs_valid"], p["hand_depth"],
+        splat_radius=1, **CAM, **cfgs,
+    )
+
+
+def test_pso_recovers_pose():
+    key = jax.random.key(0)
+    p = make_problem(key)
+    res = jax.jit(lambda k: run_pso(p, k))(jax.random.key(1))
+    add = se3.add_error(res.best_pose, p["T_gt"], p["model_pts"])
+    assert float(add) < 0.005, f"ADD {float(add)*1000:.2f}mm"
+    assert float(res.best_fitness) > 0.3
+
+
+def test_pso_fitness_trace_monotone():
+    """Global best fitness must never decrease across iterations."""
+    p = make_problem(jax.random.key(2))
+    res = run_pso(p, jax.random.key(3), particles=8, iters=5)
+    tr = np.asarray(res.fitness_trace)
+    assert np.all(np.diff(tr) >= -1e-6), tr
+
+
+def test_pso_best_at_gt_survives():
+    """If a particle starts exactly at GT, the result cannot be worse."""
+    p = make_problem(jax.random.key(4))
+    particles = 8
+    poses0 = jnp.broadcast_to(p["T0"], (particles, 4, 4)).at[3].set(p["T_gt"])
+    res = pso.pso(
+        jax.random.key(5), poses0,
+        p["scene_pts"], p["scene_normals"], p["scene_weights"],
+        p["model_pts"], p["model_normals"],
+        p["render_pts"], p["render_w"],
+        p["obs"], p["obs_valid"], p["hand_depth"],
+        splat_radius=1, **CAM,
+        pso_cfg=PsoConfig(particles=particles, iters=3, icp_every=1,
+                          icp_iters_inner=3, elite_frac=0.25),
+        icp_cfg=IcpConfig(iters=5),
+        score_cfg=ScoreConfig(),
+    )
+    add = se3.add_error(res.best_pose, p["T_gt"], p["model_pts"])
+    assert float(add) < 0.003
+
+
+def test_pso_no_icp_still_improves():
+    """Pure render-and-compare annealing (icp_every=0) should still reduce
+    error vs the initial hypothesis."""
+    p = make_problem(jax.random.key(6), rot_deg=8.0, trans=0.015)
+    res = run_pso(
+        p, jax.random.key(7), particles=32, iters=6,
+        pso_cfg=PsoConfig(particles=32, iters=6, rot_sigma=0.08,
+                          trans_sigma=0.01, icp_every=0, elite_frac=0.25),
+    )
+    add0 = se3.add_error(p["T0"], p["T_gt"], p["model_pts"])
+    add1 = se3.add_error(res.best_pose, p["T_gt"], p["model_pts"])
+    assert float(add1) < float(add0)
