@@ -51,11 +51,19 @@ class Estimator:
         hand: HandModel | None,
         cfg: EstimatorConfig = EstimatorConfig(),
         nn_fn=None,
+        mesh: jax.sharding.Mesh | None = None,
+        axis_name: str = "p",
     ):
         self.obj = obj
         self.hand = hand if (hand is not None and cfg.hand.enabled) else None
         self.cfg = cfg
         self.nn_fn = nn_fn
+        # Optional device mesh: the swarm's particle axis is sharded over
+        # `axis_name`; frame inputs are replicated, the per-iteration
+        # global-best agreement is a tiny all_gather over ICI
+        # (SURVEY.md §3 parallelism table — DP over particles).
+        self.mesh = mesh
+        self.axis_name = axis_name
         cam = cfg.camera
         # low-res raster grid for render-and-compare (integer min-pool factor)
         self.render_factor = max(1, cam.height // cfg.render_size)
@@ -66,9 +74,38 @@ class Estimator:
         self.lo_cx = cam.cx / self.render_factor
         self.lo_cy = cam.cy / self.render_factor
         # one jit per (n_particles,) — track and init modes compile separately
-        self._step_jit = jax.jit(
-            self._frame_step, static_argnames=("n_particles", "pso_iters")
+        if self.mesh is None:
+            self._step_jit = jax.jit(
+                self._frame_step, static_argnames=("n_particles", "pso_iters")
+            )
+        else:
+            self._step_jit = jax.jit(
+                self._sharded_step, static_argnames=("n_particles", "pso_iters")
+            )
+
+    def _sharded_step(self, *args, n_particles: int, pso_iters: int):
+        """shard_map the whole frame program: inputs replicated, the swarm
+        generated shard-locally (axis_index-folded RNG) so only tiny
+        global-best all_gathers cross ICI. Outputs are replicated."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        import functools
+
+        n_dev = self.mesh.size
+        if n_particles % n_dev:
+            raise ValueError(
+                f"n_particles={n_particles} not divisible by mesh size {n_dev}"
+            )
+        fn = functools.partial(
+            self._frame_step,
+            n_particles=n_particles // n_dev,
+            pso_iters=pso_iters,
         )
+        sm = shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(P(),) * 10, out_specs=P(), check_vma=False,
+        )
+        return sm(*args)
 
     # -- traced frame program ------------------------------------------------
 
@@ -102,6 +139,7 @@ class Estimator:
         prev_pose: jax.Array,     # [4,4]
         hand_base: jax.Array,     # [4,4]
         hand_q: jax.Array,        # [J]
+        obj_tensors: tuple,       # (model_pts, model_normals, render_pts, render_w)
         rot_sigma: jax.Array,     # traced: swarm init spread
         trans_sigma: jax.Array,
         uniform_rot: jax.Array,   # traced bool: global-init orientation prior
@@ -112,7 +150,15 @@ class Estimator:
     ) -> FrameResult:
         cfg = self.cfg
         cam = cfg.camera
+        axis_name = self.axis_name if self.mesh is not None else None
         k_hand, k_pre, k_init, k_pso = jax.random.split(key, 4)
+        if axis_name is not None:
+            # Preprocessing (hand sampling, subsampling) must stay replicated
+            # so per-shard fitness values are comparable and outputs are
+            # bitwise-replicated; only the swarm RNG is shard-unique.
+            idx = jax.lax.axis_index(axis_name)
+            k_init = jax.random.fold_in(k_init, idx)
+            k_pso = jax.random.fold_in(k_pso, idx)
 
         # 1. hand: FK under actuation uncertainty -> masks (SURVEY.md §2 L3).
         if self.hand is not None:
@@ -164,17 +210,18 @@ class Estimator:
         pso_cfg = dataclasses.replace(
             self.cfg.pso, particles=n_particles, iters=pso_iters
         )
+        model_pts, model_normals, render_pts, render_w = obj_tensors
         result = pso.pso(
             k_pso, poses0,
             scene.points, scene.normals, weights,
-            self.obj.model_pts, self.obj.model_normals,
-            self.obj.render_pts, self.obj.render_w,
+            model_pts, model_normals,
+            render_pts, render_w,
             scene.depth, scene.valid, hd_lo,
             fx=self.lo_fx, fy=self.lo_fy, cx=self.lo_cx, cy=self.lo_cy,
             height=self.lo_h, width=self.lo_w,
             splat_radius=1,
             pso_cfg=pso_cfg, icp_cfg=cfg.icp, score_cfg=cfg.score,
-            nn_fn=self.nn_fn,
+            nn_fn=self.nn_fn, axis_name=axis_name,
         )
         return FrameResult(
             pose=result.best_pose,
@@ -227,6 +274,8 @@ class Estimator:
             raise ValueError(f"unknown mode {mode!r}")
         return self._step_jit(
             key, depth_m, prev_pose, hand_base, hand_q,
+            (self.obj.model_pts, self.obj.model_normals,
+             self.obj.render_pts, self.obj.render_w),
             jnp.asarray(args["rot_sigma"], jnp.float32),
             jnp.asarray(args["trans_sigma"], jnp.float32),
             jnp.asarray(args["uniform_rot"]),

@@ -96,13 +96,21 @@ def pso(
     icp_cfg: IcpConfig = IcpConfig(),
     score_cfg: ScoreConfig = ScoreConfig(),
     nn_fn=None,
+    axis_name: str | None = None,
 ) -> PsoResult:
     """Annealed swarm search over SE(3) with in-loop batched ICP refine.
 
     Everything below is traced once: the scan carries ([P,4,4] poses,
     [P] fitness, best, sigma scale, rng key) through `pso_cfg.iters`
-    iterations. All static shapes; safe under jit and shard_map (the
-    particle axis is the natural sharding axis — parallel/sharding.py).
+    iterations. All static shapes; safe under jit and shard_map: with
+    `axis_name` set (parallel/sharding.py) this body runs per-shard on a
+    slice of the swarm and the global best is agreed each iteration via
+    one tiny all_gather over ICI — the TPU-native replacement for the
+    reference's single-threaded best tracking (SURVEY.md §3 comm table:
+    "psum/all_gather for global-best selection across sharded particles").
+    Returned best_* values are then replicated across shards; the elite
+    resample stays shard-local (each shard teleports its own worst
+    particles near the shared global best).
     """
     P = poses0.shape[0]
     n_resample = max(1, int(round(P * pso_cfg.elite_frac))) if P > 1 else 0
@@ -129,11 +137,25 @@ def pso(
         )
         return refined
 
+    def swarm_best(poses, fitness, coverage):
+        """Shard-local argmax, then (if sharded) a cross-shard agreement
+        round: all_gather the per-shard champions ([n_shards,4,4] poses +
+        [n_shards] scalars — bytes, not clouds) and argmax once more."""
+        bi = jnp.argmax(fitness)
+        bp, bf, bc = poses[bi], fitness[bi], coverage[bi]
+        if axis_name is not None:
+            bps = jax.lax.all_gather(bp, axis_name)
+            bfs = jax.lax.all_gather(bf, axis_name)
+            bcs = jax.lax.all_gather(bc, axis_name)
+            gi = jnp.argmax(bfs)
+            bp, bf, bc = bps[gi], bfs[gi], bcs[gi]
+        return bp, bf, bc
+
     fitness0, coverage0 = score_fn(poses0)
-    b0 = jnp.argmax(fitness0)
+    bp0, bf0, bc0 = swarm_best(poses0, fitness0, coverage0)
     init = (
         poses0, fitness0,
-        poses0[b0], fitness0[b0], coverage0[b0],
+        bp0, bf0, bc0,
         jnp.asarray(1.0, poses0.dtype), key,
     )
 
@@ -161,12 +183,12 @@ def pso(
         # 3. render-and-compare fitness for the whole swarm.
         fitness, coverage = score_fn(poses)
 
-        # 4. global best update.
-        bi = jnp.argmax(fitness)
-        improved = fitness[bi] > best_fit
-        best_pose = jnp.where(improved, poses[bi], best_pose)
-        best_fit = jnp.where(improved, fitness[bi], best_fit)
-        best_cov = jnp.where(improved, coverage[bi], best_cov)
+        # 4. global best update (cross-shard when axis_name is set).
+        bp, bf, bc = swarm_best(poses, fitness, coverage)
+        improved = bf > best_fit
+        best_pose = jnp.where(improved, bp, best_pose)
+        best_fit = jnp.where(improved, bf, best_fit)
+        best_cov = jnp.where(improved, bc, best_cov)
 
         # 5. elite resample: the worst n_resample particles teleport to
         #    fresh perturbations of the global best.

@@ -1,0 +1,117 @@
+"""Multi-chip behavior on the virtual 8-device CPU mesh (SURVEY.md §5.5).
+
+Covers BASELINE config 5 (library sweep) and the particle-axis
+shard_map path, plus the graft entry points the driver exercises.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icra20_hand_object_pose_tpu.datasets import (
+    SyntheticSequenceConfig, generate_sequence,
+)
+from icra20_hand_object_pose_tpu.models import Estimator, ObjectModel, make_t42_hand
+from icra20_hand_object_pose_tpu.parallel import LibrarySweep, make_mesh
+from icra20_hand_object_pose_tpu.utils import meshio, se3
+from icra20_hand_object_pose_tpu.utils.config import (
+    CameraIntrinsics, EstimatorConfig, PsoConfig, TrackerConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cam = CameraIntrinsics(width=64, height=48, fx=58.0, fy=58.0, cx=32.0, cy=24.0)
+    cfg = EstimatorConfig(
+        camera=cam, scene_points=256, render_size=48,
+        pso=PsoConfig(particles=16, iters=3, icp_iters_inner=2),
+        tracker=TrackerConfig(reinit_particles=16),
+    )
+    mesh = meshio.make_test_object("box")
+    hand = make_t42_hand(points_per_link=64)
+    obj = ObjectModel(mesh, model_points=256, render_points=512)
+    frame = generate_sequence(
+        mesh, hand, SyntheticSequenceConfig(n_frames=1, camera=cam,
+                                            noise_sigma=0.0, dropout=0.0),
+    )[0]
+    return cfg, obj, hand, frame
+
+
+def test_particle_sharded_matches_quality(tiny):
+    """Sharded estimate must produce a finite, GT-consistent pose."""
+    cfg, obj, hand, frame = tiny
+    mesh8 = make_mesh(8, "p")
+    est = Estimator(obj, hand, cfg, mesh=mesh8, axis_name="p")
+    out = est.estimate(
+        jnp.asarray(frame.depth), jnp.asarray(frame.pose_gt),
+        jnp.asarray(frame.hand_base), jnp.asarray(frame.hand_q),
+        mode="track",
+    )
+    adds = se3.add_s_error(
+        out.pose, jnp.asarray(frame.pose_gt), obj.model_pts
+    )
+    assert np.isfinite(float(out.fitness))
+    assert float(adds) < 0.02  # 2 cm at this tiny resolution/swarm
+
+
+def test_particle_sharding_requires_divisibility(tiny):
+    cfg, obj, hand, frame = tiny
+    import dataclasses
+    bad = dataclasses.replace(cfg, pso=dataclasses.replace(cfg.pso, particles=13))
+    est = Estimator(obj, hand, bad, mesh=make_mesh(8, "p"))
+    with pytest.raises(ValueError, match="divisible"):
+        est.estimate(
+            jnp.asarray(frame.depth), jnp.asarray(frame.pose_gt),
+            jnp.asarray(frame.hand_base), jnp.asarray(frame.hand_q),
+        )
+
+
+def test_library_sweep_sharded(tiny):
+    """8 objects concurrently over an 8-device mesh: per-object poses,
+    device-side re-init decision, checkpoint round-trip."""
+    cfg, obj, hand, frame = tiny
+    objs = [
+        ObjectModel(meshio.make_test_object("box"), model_points=256,
+                    render_points=512, seed=i)
+        for i in range(8)
+    ]
+    sweep = LibrarySweep(objs, hand, cfg, mesh=make_mesh(8, "obj"),
+                         axis_name="obj")
+    st = sweep.init_state()
+    depths = jnp.tile(jnp.asarray(frame.depth)[None], (8, 1, 1))
+    hbs = jnp.tile(jnp.asarray(frame.hand_base)[None], (8, 1, 1))
+    hqs = jnp.tile(jnp.asarray(frame.hand_q)[None], (8, 1))
+    st, res = sweep.step(st, depths, hbs, hqs)
+    assert res.poses.shape == (8, 4, 4)
+    assert bool(jnp.all(res.reinitialized))  # first frame: all init
+    st2, res2 = sweep.step(st, depths, hbs, hqs)
+    assert res2.poses.shape == (8, 4, 4)
+    # second frame: tracked objects with healthy fitness must not re-init
+    healthy = np.asarray(res.fitness) >= cfg.tracker.fitness_reinit_threshold
+    assert not np.any(np.asarray(res2.reinitialized)[healthy])
+    # checkpoint round-trip
+    sweep.save_state(st2, "/tmp/sweep_state.npz")
+    st3 = sweep.load_state("/tmp/sweep_state.npz")
+    assert np.allclose(np.asarray(st3.poses), np.asarray(st2.poses))
+
+
+def test_sweep_rejects_mismatched_objects(tiny):
+    cfg, obj, hand, frame = tiny
+    other = ObjectModel(meshio.make_test_object("box"), model_points=128,
+                        render_points=512)
+    with pytest.raises(ValueError, match="share"):
+        LibrarySweep([obj, other], hand, cfg)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out.pose)
+    assert out.pose.shape == (4, 4)
+    assert np.isfinite(float(out.fitness))
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
