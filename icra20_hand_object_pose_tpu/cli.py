@@ -1,0 +1,240 @@
+"""Command-line driver — the rebuild's `main.cpp` (SURVEY.md §2 L5).
+
+The reference ships a compiled binary driven by config.yaml that loops
+over a recorded sequence and writes per-frame poses. Equivalent here:
+
+    python -m icra20_hand_object_pose_tpu.cli track \
+        --data <seq_dir> --object mesh.obj [--config cfg.yaml] --out out/
+    python -m icra20_hand_object_pose_tpu.cli demo  [--frames 8] [--out out/]
+    python -m icra20_hand_object_pose_tpu.cli eval  --poses out/poses.jsonl \
+        --data <seq_dir> --object mesh.obj
+    python -m icra20_hand_object_pose_tpu.cli bench
+
+Outputs (SURVEY.md §6 metrics/observability): per-frame 4x4 pose text
+files (reference-compatible), a structured metrics.jsonl, and a summary
+table. `--profile DIR` wraps the run in a jax.profiler trace (Perfetto).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_cfg(args, camera=None):
+    from .utils.config import EstimatorConfig, load_yaml
+
+    if getattr(args, "config", None):
+        cfg = load_yaml(args.config)
+    else:
+        cfg = EstimatorConfig()
+    if camera is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, camera=camera)
+    return cfg
+
+
+def _make_hand(cfg):
+    from .models import make_t42_hand
+
+    return make_t42_hand() if cfg.hand.enabled else None
+
+
+def _track_frames(est, frames, out_dir, log_every=1):
+    """Shared tracking loop: frames is an iterable of objects with
+    .depth/.hand_base/.hand_q/.pose_gt (pose_gt optional)."""
+    import jax.numpy as jnp
+
+    from .evaluation import (
+        JsonlLogger, add_s_error, evaluate_trajectory, translation_error,
+    )
+    from .models import Tracker
+
+    os.makedirs(out_dir, exist_ok=True)
+    pose_dir = os.path.join(out_dir, "poses")
+    os.makedirs(pose_dir, exist_ok=True)
+    tracker = Tracker(est)
+    est_poses, gt_poses = [], []
+    model_pts = np.asarray(est.obj.model_pts)
+    t_total = 0.0
+    with JsonlLogger(os.path.join(out_dir, "metrics.jsonl")) as log:
+        for i, fr in enumerate(frames):
+            hb = jnp.asarray(fr.hand_base) if fr.hand_base is not None else None
+            hq = jnp.asarray(fr.hand_q) if fr.hand_q is not None else None
+            t0 = time.perf_counter()
+            out = tracker.step(jnp.asarray(fr.depth), hb, hq)
+            dt = time.perf_counter() - t0
+            t_total += dt
+            pose = np.asarray(out.pose)
+            est_poses.append(pose)
+            np.savetxt(os.path.join(pose_dir, f"{i:06d}.txt"), pose, fmt="%.9g")
+            rec = dict(
+                frame=i, ms=dt * 1000.0,
+                fitness=float(out.fitness), coverage=float(out.coverage),
+                reinitialized=bool(out.reinitialized),
+                pose=pose,
+            )
+            if fr.pose_gt is not None:
+                gt_poses.append(np.asarray(fr.pose_gt))
+                rec["add_s"] = add_s_error(pose, fr.pose_gt, model_pts)
+                rec["trans_err"] = translation_error(pose, fr.pose_gt)
+            log.log(**rec)
+            if log_every and i % log_every == 0:
+                extra = (
+                    f" ADD-S={rec['add_s']*1000:.2f}mm" if "add_s" in rec else ""
+                )
+                print(
+                    f"frame {i}: {dt*1000:.0f}ms fit={rec['fitness']:.3f}"
+                    f" cov={rec['coverage']:.3f}"
+                    f"{' REINIT' if rec['reinitialized'] else ''}{extra}",
+                    flush=True,
+                )
+    summary = None
+    if gt_poses and len(gt_poses) == len(est_poses):
+        summary = evaluate_trajectory(
+            est_poses, gt_poses, model_pts, est.obj.diameter
+        )
+        print(summary)
+        with open(os.path.join(out_dir, "summary.json"), "w") as f:
+            json.dump(summary.to_dict(), f, indent=2)
+    n = len(est_poses)
+    print(f"{n} frames in {t_total:.2f}s ({t_total/max(n,1)*1000:.0f} ms/frame)"
+          f" -> {out_dir}")
+    return summary
+
+
+def cmd_track(args):
+    from .datasets.sequence import RecordedSequence
+    from .models import Estimator, ObjectModel
+
+    seq = RecordedSequence(args.data)
+    cfg = _load_cfg(args, camera=seq.camera)
+    obj = ObjectModel.load(args.object, model_points=cfg.model_points)
+    est = Estimator(obj, _make_hand(cfg), cfg)
+    return _track_frames(est, seq, args.out)
+
+
+def cmd_demo(args):
+    """Self-contained: synthesize a grasp sequence, save it in the
+    recorded layout, track it back through the full IO path."""
+    import dataclasses
+
+    from .datasets import SyntheticSequenceConfig, generate_sequence
+    from .datasets.sequence import RecordedSequence, save_sequence
+    from .models import Estimator, ObjectModel
+    from .utils import meshio
+    from .utils.config import CameraIntrinsics, PsoConfig, TrackerConfig
+
+    cam = CameraIntrinsics(width=args.width, height=args.height,
+                           fx=0.9 * args.width, fy=0.9 * args.width,
+                           cx=args.width / 2, cy=args.height / 2)
+    cfg = _load_cfg(args, camera=cam)
+    if args.particles:
+        cfg = dataclasses.replace(
+            cfg,
+            pso=dataclasses.replace(cfg.pso, particles=args.particles),
+            tracker=dataclasses.replace(
+                cfg.tracker, reinit_particles=2 * args.particles
+            ),
+        )
+    mesh = meshio.make_test_object(args.shape)
+    hand = _make_hand(cfg)
+    frames = generate_sequence(
+        mesh, hand, SyntheticSequenceConfig(n_frames=args.frames, camera=cam)
+    )
+    seq_dir = os.path.join(args.out, "sequence")
+    save_sequence(frames, cam, seq_dir)
+    seq = RecordedSequence(seq_dir)
+    obj = ObjectModel(mesh, model_points=cfg.model_points)
+    est = Estimator(obj, hand, cfg)
+    return _track_frames(est, seq, args.out)
+
+
+def cmd_eval(args):
+    from .datasets.sequence import RecordedSequence
+    from .evaluation import evaluate_trajectory
+    from .models import ObjectModel
+
+    seq = RecordedSequence(args.data)
+    obj = ObjectModel.load(args.object)
+    est_poses = []
+    if args.poses.endswith(".jsonl"):
+        with open(args.poses) as f:
+            for line in f:
+                est_poses.append(np.asarray(json.loads(line)["pose"]))
+    else:
+        names = sorted(os.listdir(args.poses))
+        est_poses = [
+            np.loadtxt(os.path.join(args.poses, n)).reshape(4, 4)
+            for n in names if n.endswith(".txt")
+        ]
+    gt = [seq[i].pose_gt for i in range(len(seq))]
+    if any(g is None for g in gt):
+        print("sequence has no ground truth", file=sys.stderr)
+        return 1
+    summary = evaluate_trajectory(
+        est_poses, gt, np.asarray(obj.model_pts), obj.diameter
+    )
+    print(summary)
+    print(json.dumps(summary.to_dict()))
+
+
+def cmd_bench(args):
+    import bench  # repo-root bench.py when run from checkout
+
+    bench.main()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="icra20_hand_object_pose_tpu",
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="write a jax.profiler trace (Perfetto) to DIR")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("track", help="track an object through a recorded sequence")
+    p.add_argument("--data", required=True, help="sequence directory")
+    p.add_argument("--object", required=True, help="object mesh (.obj/.ply)")
+    p.add_argument("--config", default=None, help="YAML config")
+    p.add_argument("--out", default="out", help="output directory")
+    p.set_defaults(fn=cmd_track)
+
+    p = sub.add_parser("demo", help="synthetic grasp sequence end-to-end")
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--shape", default="box",
+                   choices=["box", "cylinder", "sphere"])
+    p.add_argument("--width", type=int, default=320)
+    p.add_argument("--height", type=int, default=240)
+    p.add_argument("--particles", type=int, default=None)
+    p.add_argument("--config", default=None)
+    p.add_argument("--out", default="out_demo")
+    p.set_defaults(fn=cmd_demo)
+
+    p = sub.add_parser("eval", help="score saved poses against ground truth")
+    p.add_argument("--poses", required=True,
+                   help="metrics.jsonl or a directory of 4x4 .txt files")
+    p.add_argument("--data", required=True)
+    p.add_argument("--object", required=True)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("bench", help="run the headline benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    if args.profile:
+        import jax
+
+        os.makedirs(args.profile, exist_ok=True)
+        with jax.profiler.trace(args.profile):
+            return args.fn(args)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -57,6 +57,12 @@ class Estimator:
         self.obj = obj
         self.hand = hand if (hand is not None and cfg.hand.enabled) else None
         self.cfg = cfg
+        if nn_fn is None and jax.default_backend() == "tpu":
+            # the fused Pallas correspondence kernel is the default on
+            # real TPUs (2x the dense-jnp path, no [P,Ns,Nm] in HBM);
+            # CPU tests keep the XLA path (interpret mode is far slower)
+            from ..ops import knn_pallas
+            nn_fn = knn_pallas.make_nn_fn()
         self.nn_fn = nn_fn
         # Optional device mesh: the swarm's particle axis is sharded over
         # `axis_name`; frame inputs are replicated, the per-iteration
@@ -139,7 +145,8 @@ class Estimator:
         prev_pose: jax.Array,     # [4,4]
         hand_base: jax.Array,     # [4,4]
         hand_q: jax.Array,        # [J]
-        obj_tensors: tuple,       # (model_pts, model_normals, render_pts, render_w)
+        obj_tensors: tuple,       # (model_pts, model_normals,
+                                  #  render_pts, render_normals, render_w)
         rot_sigma: jax.Array,     # traced: swarm init spread
         trans_sigma: jax.Array,
         uniform_rot: jax.Array,   # traced bool: global-init orientation prior
@@ -210,12 +217,12 @@ class Estimator:
         pso_cfg = dataclasses.replace(
             self.cfg.pso, particles=n_particles, iters=pso_iters
         )
-        model_pts, model_normals, render_pts, render_w = obj_tensors
+        model_pts, model_normals, render_pts, render_normals, render_w = obj_tensors
         result = pso.pso(
             k_pso, poses0,
             scene.points, scene.normals, weights,
             model_pts, model_normals,
-            render_pts, render_w,
+            render_pts, render_normals, render_w,
             scene.depth, scene.valid, hd_lo,
             fx=self.lo_fx, fy=self.lo_fy, cx=self.lo_cx, cy=self.lo_cy,
             height=self.lo_h, width=self.lo_w,
@@ -275,7 +282,7 @@ class Estimator:
         return self._step_jit(
             key, depth_m, prev_pose, hand_base, hand_q,
             (self.obj.model_pts, self.obj.model_normals,
-             self.obj.render_pts, self.obj.render_w),
+             self.obj.render_pts, self.obj.render_normals, self.obj.render_w),
             jnp.asarray(args["rot_sigma"], jnp.float32),
             jnp.asarray(args["trans_sigma"], jnp.float32),
             jnp.asarray(args["uniform_rot"]),

@@ -37,8 +37,9 @@ class ObjectModel:
         p, n = mesh.sample_surface(model_points, seed=seed)
         self.model_pts = jnp.asarray(p, jnp.float32)
         self.model_normals = jnp.asarray(n, jnp.float32)
-        rp, _ = mesh.sample_surface(render_points, seed=seed + 1)
+        rp, rn = mesh.sample_surface(render_points, seed=seed + 1)
         self.render_pts = jnp.asarray(rp, jnp.float32)
+        self.render_normals = jnp.asarray(rn, jnp.float32)
         self.render_w = jnp.ones((render_points,), jnp.float32)
         self.diameter = float(mesh.diameter())
         self.centroid = np.asarray(mesh.centroid(), np.float32)

@@ -64,40 +64,84 @@ def correspondence_weights(
     return w
 
 
+def cholesky_solve6(H: jax.Array, g: jax.Array) -> jax.Array:
+    """Solve H x = g for SPD H [...,6,6], g [...,6], fully unrolled.
+
+    jnp.linalg.solve on a [P,6,6] batch lowers to batched LU with
+    pivoting — scalar-ish and slow on TPU. Unrolling the 6x6 Cholesky
+    turns the whole batched solve into ~100 elementwise VPU ops over the
+    particle axis.
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = H[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        # clamp: padding/degenerate batches must not NaN the whole swarm
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = H[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    # forward substitution L y = g
+    y = [None] * n
+    for i in range(n):
+        s = g[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def solve_gn_step(
-    scene_pts: jax.Array,     # [Ns,3]
-    matched_pts: jax.Array,   # [Ns,3] posed model points matched to scene
-    normals: jax.Array,       # [Ns,3] matched model normals in camera frame
-    weights: jax.Array,       # [Ns]
+    scene_pts: jax.Array,     # [...,Ns,3]
+    matched_pts: jax.Array,   # [...,Ns,3] posed model points matched to scene
+    normals: jax.Array,       # [...,Ns,3] matched model normals, camera frame
+    weights: jax.Array,       # [...,Ns]
     damping: float,
 ) -> tuple[jax.Array, jax.Array]:
-    """One damped Gauss-Newton step of point-to-plane alignment.
+    """One damped Gauss-Newton step of point-to-plane alignment; batched
+    over arbitrary leading axes.
 
     Linearizes r_i(xi) = n_i . (s_i - exp(xi) p_i) around xi=0:
     J_i = -[ (p_i x n_i), n_i ], so  (J^T W J + lam I) xi = J^T W r with
-    J^T W r = sum w_i r_i [p_i x n_i; n_i]. Returns (xi [6], rmse).
+    J^T W r = sum w_i r_i [p_i x n_i; n_i]. Returns (xi [...,6], rmse).
     """
-    r = jnp.sum(normals * (scene_pts - matched_pts), axis=-1)   # [Ns]
-    pxn = jnp.cross(matched_pts, normals)                        # [Ns,3]
-    J = jnp.concatenate([pxn, normals], axis=-1)                 # [Ns,6]
-    wJ = J * weights[:, None]
-    H = jnp.matmul(wJ.T, J, precision=_PREC)                     # [6,6]
-    g = jnp.matmul(wJ.T, r[:, None], precision=_PREC)[:, 0]      # [6]
+    r = jnp.sum(normals * (scene_pts - matched_pts), axis=-1)   # [...,Ns]
+    pxn = jnp.cross(matched_pts, normals)                        # [...,Ns,3]
+    J = jnp.concatenate([pxn, normals], axis=-1)                 # [...,Ns,6]
+    wJ = J * weights[..., None]
+    H = jnp.einsum("...ni,...nj->...ij", wJ, J, precision=_PREC)  # [...,6,6]
+    g = jnp.einsum("...ni,...n->...i", wJ, r, precision=_PREC)    # [...,6]
     # Scale-aware Levenberg damping keeps the solve well-posed when
     # correspondences are degenerate (few inliers, flat geometry).
-    lam = damping * (jnp.trace(H) / 6.0 + 1e-12)
-    xi = jnp.linalg.solve(H + lam * jnp.eye(6, dtype=H.dtype), g)
-    wsum = jnp.maximum(jnp.sum(weights), 1e-9)
-    rmse = jnp.sqrt(jnp.sum(weights * r * r) / wsum)
+    tr = jnp.trace(H, axis1=-2, axis2=-1)
+    lam = damping * (tr / 6.0 + 1e-12)
+    H = H + lam[..., None, None] * jnp.eye(6, dtype=H.dtype)
+    xi = cholesky_solve6(H, g)
+    wsum = jnp.maximum(jnp.sum(weights, axis=-1), 1e-9)
+    rmse = jnp.sqrt(jnp.sum(weights * r * r, axis=-1) / wsum)
     # With zero inliers the system is pure damping and xi ~ g/lam garbage:
     # freeze instead.
-    xi = jnp.where(jnp.sum(weights) > 6.0, xi, 0.0)
+    xi = jnp.where(
+        (jnp.sum(weights, axis=-1) > 6.0)[..., None], xi, 0.0
+    )
     return xi, rmse
 
 
-def icp(
-    pose0: jax.Array,          # [4,4] model->camera initial pose
-    scene_pts: jax.Array,      # [Ns,3]
+def icp_batched(
+    poses0: jax.Array,         # [P,4,4]
+    scene_pts: jax.Array,      # [Ns,3] shared observations
     scene_normals: jax.Array,  # [Ns,3] (zeros allowed)
     scene_weights: jax.Array,  # [Ns]
     model_pts: jax.Array,      # [Nm,3] model frame
@@ -111,47 +155,62 @@ def icp(
     converge_tol: float = 1e-6,
     nn_fn: Callable | None = None,
 ) -> tuple[jax.Array, IcpStats]:
-    """Point-to-plane ICP with fixed iteration count (jit/vmap/scan safe).
+    """Batched point-to-plane ICP, natively tensorized over the particle
+    axis (BASELINE.json config-2 "batched 64-particle refine"): all P
+    hypotheses share one scene; each iteration is ONE [P,Ns,Nm]
+    correspondence search + ONE batched GN solve — not P programs.
 
-    nn_fn(query, ref) -> (idx, d2) overrides the correspondence search
-    (plug in the Pallas kernel); defaults to the dense jnp path.
+    Fixed iteration count (jit/vmap/scan safe); per-particle convergence
+    via freezing (SURVEY.md §8 hard part 5). nn_fn(query, ref) ->
+    (idx, d2) overrides the correspondence search with the Pallas kernel;
+    it receives query [Ns,3] + ref [P,Nm,3] and must return [P,Ns]
+    results; defaults to the dense jnp path.
     """
-    search = nn_fn if nn_fn is not None else knn.nn
+    P = poses0.shape[0]
     min_cos = math.cos(math.radians(normal_angle_max_deg))
+    if nn_fn is not None:
+        search = nn_fn
+    else:
+        search = lambda q, r: jax.vmap(lambda rr: knn.nn(q, rr))(r)
     # Anchor the GN solve at the weighted scene centroid: rotations about
     # the camera origin are mostly translations for objects ~0.5m out,
     # which wrecks both the 6x6 conditioning and the linearization.
     wsum = jnp.maximum(jnp.sum(scene_weights), 1e-9)
     anchor = jnp.sum(scene_pts * scene_weights[:, None], axis=0) / wsum
 
-    def body(carry, _):
-        pose, frozen = carry
-        posed = se3.transform_points(pose, model_pts)            # [Nm,3]
-        idx, d2 = search(scene_pts, posed)
-        matched = posed[idx]
-        mnorm = se3.rotate_vectors(pose, model_normals)[idx]
-        w = correspondence_weights(
-            d2, scene_normals, mnorm, scene_weights, max_corresp_dist, min_cos
-        )
-        xi, rmse = solve_gn_step(
-            scene_pts - anchor, matched - anchor, mnorm, w, damping
-        )
-        xi = xi * step_scale
-        step = jnp.sum(xi * xi)
-        new_frozen = frozen | (step < converge_tol * converge_tol)
-        xi = jnp.where(frozen, 0.0, xi)
-        pose = se3.apply_twist_about(xi, pose, anchor)
-        return (pose, new_frozen), (rmse, jnp.sum(w))
+    scene_c = scene_pts - anchor                                  # [Ns,3]
+    apply_twists = jax.vmap(se3.apply_twist_about, in_axes=(0, 0, None))
 
-    (pose, frozen), (rmses, inliers) = jax.lax.scan(
-        body, (pose0, jnp.asarray(False)), None, length=iters
+    def body(carry, _):
+        poses, frozen = carry                                     # [P,4,4],[P]
+        posed = se3.transform_points(poses, model_pts)            # [P,Nm,3]
+        idx, d2 = search(scene_pts, posed)                        # [P,Ns]
+        matched = jnp.take_along_axis(posed, idx[..., None], axis=1)
+        mnorm_all = se3.rotate_vectors(poses, model_normals)      # [P,Nm,3]
+        mnorm = jnp.take_along_axis(mnorm_all, idx[..., None], axis=1)
+        w = correspondence_weights(
+            d2, scene_normals[None], mnorm, scene_weights[None],
+            max_corresp_dist, min_cos,
+        )                                                         # [P,Ns]
+        xi, rmse = solve_gn_step(
+            scene_c[None], matched - anchor, mnorm, w, damping
+        )                                                         # [P,6]
+        xi = xi * step_scale
+        step = jnp.sum(xi * xi, axis=-1)                          # [P]
+        new_frozen = frozen | (step < converge_tol * converge_tol)
+        xi = jnp.where(frozen[:, None], 0.0, xi)
+        poses = apply_twists(xi, poses, anchor)
+        return (poses, new_frozen), (rmse, jnp.sum(w, axis=-1))
+
+    (poses, frozen), (rmses, inliers) = jax.lax.scan(
+        body, (poses0, jnp.zeros((P,), bool)), None, length=iters
     )
     stats = IcpStats(rmse=rmses[-1], inliers=inliers[-1], converged=frozen)
-    return pose, stats
+    return poses, stats
 
 
-def icp_batched(
-    poses0: jax.Array,  # [P,4,4]
+def icp(
+    pose0: jax.Array,          # [4,4] model->camera initial pose
     scene_pts: jax.Array,
     scene_normals: jax.Array,
     scene_weights: jax.Array,
@@ -159,15 +218,10 @@ def icp_batched(
     model_normals: jax.Array,
     **kwargs,
 ) -> tuple[jax.Array, IcpStats]:
-    """vmap of `icp` over the particle axis — the BASELINE.json config-2
-    "batched 64-particle refine" path. One device program for all P."""
-    f = partial(
-        icp,
-        scene_pts=scene_pts,
-        scene_normals=scene_normals,
-        scene_weights=scene_weights,
-        model_pts=model_pts,
-        model_normals=model_normals,
-        **kwargs,
+    """Single-hypothesis point-to-plane ICP (BASELINE.json config 1) —
+    the P=1 slice of the batched path."""
+    poses, stats = icp_batched(
+        pose0[None], scene_pts, scene_normals, scene_weights,
+        model_pts, model_normals, **kwargs,
     )
-    return jax.vmap(lambda T: f(T))(poses0)
+    return poses[0], jax.tree_util.tree_map(lambda a: a[0], stats)

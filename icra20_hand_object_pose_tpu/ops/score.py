@@ -95,3 +95,75 @@ def compare_depth(
     n_obs = jnp.maximum(jnp.sum(observed_valid.astype(rendered.dtype)), 1.0)
     coverage = jnp.sum(match.astype(rendered.dtype), axis=axes) / n_obs
     return ScoreTerms(fitness=fitness, coverage=coverage, support=support, counted=n_counted)
+
+
+def compare_points(
+    pts_cam: jax.Array,      # [...,N,3] posed model surface samples
+    normals_cam: jax.Array,  # [...,N,3] posed outward model normals
+    observed: jax.Array,     # [H,W] observed depth (0 invalid)
+    observed_valid: jax.Array,  # [H,W] bool
+    hand_depth: jax.Array | None = None,  # [H,W] (+inf none)
+    *,
+    fx: float, fy: float, cx: float, cy: float,
+    height: int, width: int,
+    depth_tau: float = 0.01,
+    wrong_side_penalty: float = 2.0,
+    occlusion_margin: float = 0.005,
+    invalid_penalty: float = 0.3,
+) -> ScoreTerms:
+    """Point-wise render-and-compare: projective association instead of a
+    per-particle z-buffer.
+
+    The pixel path (`compare_depth`) needs a scatter-min splat per
+    particle per PSO iteration — measured 147 ms per iteration at
+    [512,2048]->[120,160] on v5e (XLA TPU scatter is the slowest op in
+    the whole frame program). This path renders NOTHING: each posed model
+    sample gathers the observed depth at its projected pixel and is
+    classified exactly like a rendered pixel would be. Self-occlusion
+    (the z-buffer's job) is approximated by back-face culling: samples
+    whose outward normal faces away from the camera are excluded — the
+    first-order visibility model. Same fitness semantics, per point
+    instead of per pixel; coverage = matched fraction of the
+    front-facing samples.
+    """
+    x, y, z = pts_cam[..., 0], pts_cam[..., 1], pts_cam[..., 2]
+    in_front = z > 1e-6
+    zs = jnp.where(in_front, z, 1.0)
+    ui = jnp.round(x / zs * fx + cx).astype(jnp.int32)
+    vi = jnp.round(y / zs * fy + cy).astype(jnp.int32)
+    inb = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+    # back-face cull: outward normal must face the camera (n . p < 0)
+    facing = jnp.sum(normals_cam * pts_cam, axis=-1) < 0.0
+    vis = inb & facing
+
+    flat = jnp.where(inb, vi * width + ui, 0)
+    d_obs = jnp.take(observed.reshape(-1), flat)
+    v_obs = jnp.take(observed_valid.reshape(-1), flat) & inb
+    if hand_depth is not None:
+        d_hand = jnp.take(hand_depth.reshape(-1), flat)
+        vis = vis & ~(d_hand < z - occlusion_margin)
+
+    diff = z - jnp.where(v_obs, d_obs, jnp.inf)
+    absdiff = jnp.abs(diff)
+    counted = vis & v_obs
+    match = counted & (absdiff < depth_tau)
+    wrong = counted & (diff < -depth_tau)
+    ghost = vis & (~v_obs)
+
+    dt = pts_cam.dtype
+    support_pt = jnp.where(match, 1.0 - absdiff / depth_tau, 0.0)
+    support = jnp.sum(support_pt, axis=-1)
+    n_wrong = jnp.sum(wrong.astype(dt), axis=-1)
+    n_ghost = jnp.sum(ghost.astype(dt), axis=-1)
+    n_counted = jnp.sum(counted.astype(dt), axis=-1) + n_ghost
+
+    fitness = (
+        support - wrong_side_penalty * n_wrong - invalid_penalty * n_ghost
+    ) / jnp.maximum(n_counted, 1.0)
+    fitness = jnp.where(n_counted > 0, fitness, -wrong_side_penalty)
+
+    n_vis = jnp.maximum(jnp.sum(vis.astype(dt), axis=-1), 1.0)
+    coverage = jnp.sum(match.astype(dt), axis=-1) / n_vis
+    return ScoreTerms(
+        fitness=fitness, coverage=coverage, support=support, counted=n_counted
+    )

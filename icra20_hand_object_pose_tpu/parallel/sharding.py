@@ -98,6 +98,7 @@ class LibrarySweep:
         self._model_pts = jnp.stack([o.model_pts for o in objects])
         self._model_normals = jnp.stack([o.model_normals for o in objects])
         self._render_pts = jnp.stack([o.render_pts for o in objects])
+        self._render_normals = jnp.stack([o.render_normals for o in objects])
         self._render_w = jnp.stack([o.render_w for o in objects])
         self._diameters = np.asarray([o.diameter for o in objects], np.float32)
 
@@ -114,7 +115,7 @@ class LibrarySweep:
                     obj_sharding,  # prev poses
                     obj_sharding,  # hand bases
                     obj_sharding,  # hand qs
-                    (obj_sharding,) * 4,  # object tensors
+                    (obj_sharding,) * 5,  # object tensors
                     obj_sharding,  # rot_sigma [O]
                     obj_sharding,  # trans_sigma [O]
                     obj_sharding,  # uniform_rot [O]
@@ -189,7 +190,7 @@ class LibrarySweep:
         out = self._sweep_jit(
             keys, depths, state.poses, hand_bases, hand_qs,
             (self._model_pts, self._model_normals,
-             self._render_pts, self._render_w),
+             self._render_pts, self._render_normals, self._render_w),
             rot_sigma.astype(jnp.float32), trans_sigma.astype(jnp.float32),
             need_init, roi_radius.astype(jnp.float32),
             cfg.pso.particles, cfg.pso.iters,

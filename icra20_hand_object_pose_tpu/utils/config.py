@@ -66,7 +66,10 @@ class PsoConfig:
     sigma_decay: float = 0.7            # anneal per PSO iteration
     icp_every: int = 1                  # run ICP refine every k PSO iters
     icp_iters_inner: int = 5            # ICP iters inside each PSO step
+    icp_scene_subset: int = 512         # stochastic inner ICP: scene points
+    icp_model_subset: int = 512         # stochastic inner ICP: model points
     elite_frac: float = 0.25            # resample worst particles around best
+    polish_accept_tol: float = 0.05     # final full-ICP polish acceptance
 
 
 @dataclass(frozen=True)
@@ -77,6 +80,10 @@ class ScoreConfig:
     occlusion_margin: float = 0.005     # meters; hand-occlusion z-test margin
     coverage_weight: float = 0.5        # reward for explaining observed pixels
     invalid_penalty: float = 0.3        # rendered over no-return pixels
+    mode: str = "point"                 # "point": projective association
+                                        # (no per-particle z-buffer, the
+                                        # fast path); "pixel": splat render
+                                        # + per-pixel compare
 
 
 @dataclass(frozen=True)

@@ -254,9 +254,11 @@ def make_cylinder(radius=0.02, height=0.1, segments=24, center=(0, 0, 0)) -> Mes
     faces = []
     for i in range(segments):
         j = (i + 1) % segments
-        faces += [[i, j, segments + i], [j, segments + j, segments + i]]     # side
-        faces += [[2 * segments, j, i]]                                       # top cap
-        faces += [[2 * segments + 1, segments + i, segments + j]]             # bottom cap
+        # wound so face normals point OUTWARD (scoring back-face-culls on
+        # sampled normals; inward winding silently inverts visibility)
+        faces += [[i, segments + i, j], [j, segments + i, segments + j]]     # side
+        faces += [[2 * segments, i, j]]                                       # top cap
+        faces += [[2 * segments + 1, segments + j, segments + i]]             # bottom cap
     return Mesh(v, np.asarray(faces, np.int32))
 
 

@@ -1,0 +1,123 @@
+"""16-bit grayscale PNG codec for depth frames.
+
+The reference reads recorded sequences as 16-bit depth PNGs via OpenCV
+(SURVEY.md §3 "Dataset I/O"). This environment has no OpenCV/imageio, so
+the rebuild ships its own codec: a pure-Python zlib implementation here
+(reference-grade, always available) and a native C++ fast path
+(icra20_hand_object_pose_tpu.native) that the sequence loader prefers
+when its shared library is built.
+
+Supports the subset the datasets use: 8/16-bit grayscale, all five PNG
+scanline filters, no interlacing. Writes filter-0 16-bit grayscale.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload)) + tag + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def write_png16(path: str, img: np.ndarray) -> None:
+    """uint16 [H,W] -> 16-bit grayscale PNG (big-endian samples)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint16 or img.ndim != 2:
+        raise ValueError(f"need uint16 [H,W], got {img.dtype} {img.shape}")
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)  # 16-bit gray
+    raw = img.astype(">u2").tobytes()
+    stride = 2 * w
+    scanlines = b"".join(
+        b"\x00" + raw[y * stride:(y + 1) * stride] for y in range(h)
+    )
+    with open(path, "wb") as f:
+        f.write(_SIG)
+        f.write(_chunk(b"IHDR", ihdr))
+        f.write(_chunk(b"IDAT", zlib.compress(scanlines, 6)))
+        f.write(_chunk(b"IEND", b""))
+
+
+def _unfilter(data: bytes, h: int, w: int, bpp: int) -> np.ndarray:
+    stride = w * bpp
+    out = np.zeros((h, stride), np.uint8)
+    pos = 0
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ftype = data[pos]
+        pos += 1
+        line = np.frombuffer(data[pos:pos + stride], np.uint8).astype(np.int32)
+        pos += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def read_png_gray(path: str) -> np.ndarray:
+    """PNG -> uint8 or uint16 [H,W] (grayscale only, no interlace)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[:8] != _SIG:
+        raise ValueError(f"{path}: not a PNG")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos:pos + 4])
+        tag = blob[pos + 4:pos + 8]
+        payload = blob[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError(f"{path}: missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if color != 0:
+        raise ValueError(f"{path}: color type {color} unsupported (gray only)")
+    if interlace != 0:
+        raise ValueError(f"{path}: interlaced PNG unsupported")
+    if depth not in (8, 16):
+        raise ValueError(f"{path}: bit depth {depth} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = depth // 8
+    bytes_img = _unfilter(raw, h, w, bpp)
+    if depth == 8:
+        return bytes_img.reshape(h, w)
+    return bytes_img.reshape(h, w * 2).view(">u2").astype(np.uint16).reshape(h, w)

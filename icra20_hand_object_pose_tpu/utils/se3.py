@@ -190,15 +190,34 @@ def inverse(T: jax.Array) -> jax.Array:
     return make_pose(Rt, -jnp.einsum("...ij,...j->...i", Rt, t, precision=_PREC))
 
 
+def _rotate_fma(R: jax.Array, pts: jax.Array) -> jax.Array:
+    """[...,3,3] x [...,N,3] as 9 broadcast FMAs on the VPU.
+
+    An einsum with Precision.HIGHEST over a K=3 contraction lowers to a
+    multi-pass MXU program that measured 22 ms at [512,2048,3] on v5e;
+    the unrolled form is exact f32 and runs in the noise.
+    """
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    Rb = R[..., None, :, :]  # broadcast over the point axis
+    return jnp.stack(
+        [
+            Rb[..., 0, 0] * x + Rb[..., 0, 1] * y + Rb[..., 0, 2] * z,
+            Rb[..., 1, 0] * x + Rb[..., 1, 1] * y + Rb[..., 1, 2] * z,
+            Rb[..., 2, 0] * x + Rb[..., 2, 1] * y + Rb[..., 2, 2] * z,
+        ],
+        axis=-1,
+    )
+
+
 def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply pose(s) [..,4,4] to points [..,N,3]."""
     R = rotation(T)
     t = translation(T)
-    return jnp.einsum("...ij,...nj->...ni", R, pts, precision=_PREC) + t[..., None, :]
+    return _rotate_fma(R, pts) + t[..., None, :]
 
 
 def rotate_vectors(T: jax.Array, vecs: jax.Array) -> jax.Array:
-    return jnp.einsum("...ij,...nj->...ni", rotation(T), vecs, precision=_PREC)
+    return _rotate_fma(rotation(T), vecs)
 
 
 def se3_exp(xi: jax.Array) -> jax.Array:

@@ -24,7 +24,7 @@ def test_matches_dense(P, Ns, Nm):
         ref_idx, ref_d2 = knn.nn(q[p], r[p])
         # ties can differ in index; distances must agree
         np.testing.assert_allclose(np.asarray(d2[p]), np.asarray(ref_d2),
-                                   rtol=1e-4, atol=1e-9)
+                                   rtol=1e-3, atol=1e-7)
         agree = np.mean(np.asarray(idx[p]) == np.asarray(ref_idx))
         assert agree > 0.99, agree
 
@@ -36,7 +36,7 @@ def test_unaligned_sizes_padded_correctly():
     assert int(jnp.max(idx)) < 73
     ref_idx, ref_d2 = knn.nn(q[0], r[0])
     np.testing.assert_allclose(np.asarray(d2[0]), np.asarray(ref_d2),
-                               rtol=1e-4, atol=1e-9)
+                               rtol=1e-3, atol=1e-7)
 
 
 def test_nn_fn_under_vmap_in_icp():
@@ -71,3 +71,16 @@ def test_exact_distances_value():
     idx, d2 = knn_pallas.nn_batched(q, r, tile_s=8, tile_m=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(idx[0]), [0, 1])
     np.testing.assert_allclose(np.asarray(d2[0]), [0.01, 0.04], rtol=1e-5)
+
+
+def test_shared_query_batch():
+    """query [1,Ns,3] + ref [P,Nm,3]: scene shared across particles."""
+    kq, kr = jax.random.split(jax.random.key(3))
+    q = jax.random.uniform(kq, (1, 50, 3), minval=-0.3, maxval=0.3)
+    r = jax.random.uniform(kr, (3, 80, 3), minval=-0.3, maxval=0.3)
+    idx, d2 = knn_pallas.nn_batched(q, r, tile_s=64, tile_m=64, interpret=True)
+    assert idx.shape == (3, 50)
+    for p in range(3):
+        ref_idx, ref_d2 = knn.nn(q[0], r[p])
+        np.testing.assert_allclose(np.asarray(d2[p]), np.asarray(ref_d2),
+                                   rtol=1e-3, atol=1e-7)

@@ -20,8 +20,9 @@ def make_problem(key, rot_deg=12.0, trans=0.02):
     mpts, mnrm = mesh.sample_surface(256, seed=0)
     mpts = jnp.asarray(mpts)
     mnrm = jnp.asarray(mnrm)
-    rpts, _ = mesh.sample_surface(512, seed=1)
+    rpts, rnrm = mesh.sample_surface(512, seed=1)
     rpts = jnp.asarray(rpts)
+    rnrm = jnp.asarray(rnrm)
     rw = jnp.ones(512)
 
     T_gt = jnp.asarray(se3.make_pose(jnp.eye(3), jnp.asarray([0.0, 0.0, 0.4])))
@@ -43,7 +44,7 @@ def make_problem(key, rot_deg=12.0, trans=0.02):
     scene_nrm = se3.rotate_vectors(T_gt, mnrm)
     return dict(
         mesh=mesh, model_pts=mpts, model_normals=mnrm,
-        render_pts=rpts, render_w=rw,
+        render_pts=rpts, render_normals=rnrm, render_w=rw,
         T_gt=T_gt, T0=T0,
         scene_pts=scene_icp, scene_normals=scene_nrm,
         scene_weights=jnp.ones(scene_icp.shape[0]),
@@ -68,7 +69,7 @@ def run_pso(p, key, particles=16, iters=4, **over):
         key, poses0,
         p["scene_pts"], p["scene_normals"], p["scene_weights"],
         p["model_pts"], p["model_normals"],
-        p["render_pts"], p["render_w"],
+        p["render_pts"], p["render_normals"], p["render_w"],
         p["obs"], p["obs_valid"], p["hand_depth"],
         splat_radius=1, **CAM, **cfgs,
     )
@@ -100,7 +101,7 @@ def test_pso_best_at_gt_survives():
         jax.random.key(5), poses0,
         p["scene_pts"], p["scene_normals"], p["scene_weights"],
         p["model_pts"], p["model_normals"],
-        p["render_pts"], p["render_w"],
+        p["render_pts"], p["render_normals"], p["render_w"],
         p["obs"], p["obs_valid"], p["hand_depth"],
         splat_radius=1, **CAM,
         pso_cfg=PsoConfig(particles=particles, iters=3, icp_every=1,
