@@ -96,7 +96,8 @@ def _track_frames(est, frames, out_dir, log_every=1):
     summary = None
     if gt_poses and len(gt_poses) == len(est_poses):
         summary = evaluate_trajectory(
-            est_poses, gt_poses, model_pts, est.obj.diameter
+            est_poses, gt_poses, model_pts, est.obj.diameter,
+            mesh=est.obj.mesh,
         )
         print(summary)
         with open(os.path.join(out_dir, "summary.json"), "w") as f:
@@ -177,7 +178,7 @@ def cmd_eval(args):
         print("sequence has no ground truth", file=sys.stderr)
         return 1
     summary = evaluate_trajectory(
-        est_poses, gt, np.asarray(obj.model_pts), obj.diameter
+        est_poses, gt, np.asarray(obj.model_pts), obj.diameter, mesh=obj.mesh
     )
     print(summary)
     print(json.dumps(summary.to_dict()))

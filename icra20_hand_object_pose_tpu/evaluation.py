@@ -31,10 +31,20 @@ def add_error(T_est: np.ndarray, T_gt: np.ndarray, pts: np.ndarray) -> float:
 
 
 def add_s_error(T_est: np.ndarray, T_gt: np.ndarray, pts: np.ndarray) -> float:
+    """Symmetric ADD: mean closest-point distance (KD-tree).
+
+    NOTE: ADD-S has a resolution floor of roughly half the model point
+    spacing — at 1024 samples on a 5 cm object that is ~2.6 mm for a
+    symmetry-flipped but otherwise exact pose. Use a dense cloud
+    (>= 4096, see `evaluate_trajectory(eval_points=...)`) when measuring
+    millimeter-level accuracy.
+    """
+    from scipy.spatial import cKDTree
+
     a = pts @ np.asarray(T_est)[:3, :3].T + np.asarray(T_est)[:3, 3]
     b = pts @ np.asarray(T_gt)[:3, :3].T + np.asarray(T_gt)[:3, 3]
-    d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
-    return float(np.mean(d.min(axis=1)))
+    d, _ = cKDTree(b).query(a, k=1)
+    return float(np.mean(d))
 
 
 def rotation_error_deg(T_est: np.ndarray, T_gt: np.ndarray) -> float:
@@ -96,11 +106,18 @@ def evaluate_trajectory(
     poses_gt: Sequence[np.ndarray],
     model_pts: np.ndarray,
     diameter: float,
+    mesh=None,
+    eval_points: int = 8192,
 ) -> TrajectorySummary:
+    """When `mesh` (utils.meshio.Mesh) is given, metrics use a dense
+    `eval_points` surface sampling instead of `model_pts`, avoiding the
+    ADD-S sampling floor (see add_s_error)."""
     if len(poses_est) != len(poses_gt):
         raise ValueError(
             f"{len(poses_est)} estimated vs {len(poses_gt)} GT poses"
         )
+    if mesh is not None:
+        model_pts, _ = mesh.sample_surface(eval_points, seed=123)
     pts = np.asarray(model_pts, np.float64)
     adds, add_ss, rots, trans = [], [], [], []
     for Te, Tg in zip(poses_est, poses_gt):

@@ -131,11 +131,17 @@ class Estimator:
             flat, w, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
             height=cam.height, width=cam.width, radius=2,
         )
-        # Low-res conservative occluder depth for render-and-compare.
-        hd_lo = render.splat_depth(
-            flat, w, fx=self.lo_fx, fy=self.lo_fy, cx=self.lo_cx, cy=self.lo_cy,
-            height=self.lo_h, width=self.lo_w, radius=1,
-        )
+        # Low-res conservative occluder depth for render-and-compare
+        # (at render_factor == 1 the full-res map is reused — a second
+        # VGA scatter splat costs ~100 ms on TPU).
+        if self.render_factor == 1:
+            hd_lo = hd_full
+        else:
+            hd_lo = render.splat_depth(
+                flat, w, fx=self.lo_fx, fy=self.lo_fy,
+                cx=self.lo_cx, cy=self.lo_cy,
+                height=self.lo_h, width=self.lo_w, radius=1,
+            )
         return hd_full, hd_lo, flat
 
     def _frame_step(

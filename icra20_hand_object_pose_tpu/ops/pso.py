@@ -237,7 +237,7 @@ def pso(
         sig = sig * pso_cfg.sigma_decay
         return (poses, fitness, best_pose, best_fit, best_cov, sig, k), best_fit
 
-    (poses, fitness, best_pose, best_fit, best_cov, _, _), trace = jax.lax.scan(
+    (poses, fitness, best_pose, best_fit, best_cov, _, k_end), trace = jax.lax.scan(
         body, init, jnp.arange(pso_cfg.iters)
     )
 
@@ -262,6 +262,46 @@ def pso(
     best_pose = jnp.where(keep, polished, best_pose)
     best_fit = jnp.where(keep, pf[0], best_fit)
     best_cov = jnp.where(keep, pc[0], best_cov)
+
+    # Score-only annealed finisher: ICP cannot constrain the tangential
+    # DOFs of near-flat geometry (any in-face slide is a point-to-plane
+    # fixed point), and the in-loop stochastic ICP re-slides particles
+    # before they are scored, so the swarm search alone stalls ~3-4 mm
+    # from the (sharp, correctly-peaked) fitness optimum. This stage
+    # climbs the score directly: the whole swarm re-samples tightly
+    # around the incumbent best with millimeter sigmas, no ICP. Monotone
+    # in best_fit by construction.
+    if pso_cfg.finish_iters > 0:
+        fs0 = pso_cfg.finish_sigma_frac
+        Pf = max(2, min(P, pso_cfg.finish_particles))
+
+        def fbody(carry, _):
+            best_pose, best_fit, best_cov, sig, k = carry
+            k, kp = jax.random.split(k)
+            pk = jax.random.split(kp, Pf)
+            cand = jax.vmap(
+                lambda kk: se3.perturb_pose(
+                    kk, best_pose,
+                    pso_cfg.rot_sigma * fs0 * sig,
+                    pso_cfg.trans_sigma * fs0 * sig,
+                )
+            )(pk)
+            cand = cand.at[0].set(best_pose)
+            f, c = score_fn(cand)
+            bp, bf, bc = swarm_best(cand, f, c)
+            improved = bf > best_fit
+            best_pose = jnp.where(improved, bp, best_pose)
+            best_fit = jnp.where(improved, bf, best_fit)
+            best_cov = jnp.where(improved, bc, best_cov)
+            return (best_pose, best_fit, best_cov,
+                    sig * pso_cfg.sigma_decay, k), None
+
+        (best_pose, best_fit, best_cov, _, _), _ = jax.lax.scan(
+            fbody,
+            (best_pose, best_fit, best_cov, jnp.asarray(1.0, poses0.dtype),
+             k_end),
+            None, length=pso_cfg.finish_iters,
+        )
 
     return PsoResult(
         best_pose=best_pose, best_fitness=best_fit, best_coverage=best_cov,

@@ -70,6 +70,9 @@ class PsoConfig:
     icp_model_subset: int = 512         # stochastic inner ICP: model points
     elite_frac: float = 0.25            # resample worst particles around best
     polish_accept_tol: float = 0.05     # final full-ICP polish acceptance
+    finish_iters: int = 12              # score-only annealed finisher stage
+    finish_particles: int = 128         # finisher swarm size (per shard)
+    finish_sigma_frac: float = 0.15     # finisher start sigma (x rot/trans)
 
 
 @dataclass(frozen=True)
@@ -114,7 +117,11 @@ class EstimatorConfig:
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     scene_points: int = 2048            # fixed-size subsampled scene cloud
     model_points: int = 1024            # fixed-size model cloud
-    render_size: int = 96               # low-res render-and-compare raster
+    render_size: int = 480              # render-and-compare raster height;
+                                        # point-mode scoring is resolution-
+                                        # insensitive in cost, so full res
+                                        # (sharpest silhouette evidence) is
+                                        # the default
     depth_min: float = 0.1              # meters; valid depth gate
     depth_max: float = 2.0
     dtype: str = "float32"
