@@ -17,6 +17,64 @@ import time
 import numpy as np
 
 
+def bench_sweep(n_objects: int = 8) -> None:
+    """BASELINE config 5: whole model library tracked concurrently as one
+    jit program (object axis; single chip here, sharded on a slice).
+    Prints one JSON line; run via `python bench.py --sweep`."""
+    import jax
+    import jax.numpy as jnp
+    from icra20_hand_object_pose_tpu.datasets import (
+        default_object_pose, hand_base_for_grasp, render_frame_fast,
+    )
+    from icra20_hand_object_pose_tpu.models import ObjectModel, make_t42_hand
+    from icra20_hand_object_pose_tpu.parallel import LibrarySweep
+    from icra20_hand_object_pose_tpu.utils import meshio
+    from icra20_hand_object_pose_tpu.utils.config import (
+        CameraIntrinsics, EstimatorConfig, PsoConfig,
+    )
+
+    cam = CameraIntrinsics(width=640, height=480, fx=570.0, fy=570.0,
+                           cx=320.0, cy=240.0)
+    pso_iters = 10
+    particles = 128  # per object; n_objects tracked concurrently
+    cfg = EstimatorConfig(
+        camera=cam, scene_points=2048,
+        pso=PsoConfig(particles=particles, iters=pso_iters),
+    )
+    shapes = ["box", "cylinder", "sphere", "ellipsoid"]
+    meshes = [meshio.make_test_object(shapes[i % 4]) for i in range(n_objects)]
+    hand = make_t42_hand()
+    objs = [ObjectModel(m, seed=i) for i, m in enumerate(meshes)]
+    sweep = LibrarySweep(objs, hand, cfg)
+    pose_gt = default_object_pose()
+    hb = hand_base_for_grasp(pose_gt)
+    hq = np.asarray([0.45, 0.45], np.float32)
+    depths = jnp.stack([
+        jnp.asarray(render_frame_fast(m, pose_gt, hand, hb, hq, cam,
+                                      noise_sigma=0.001))
+        for m in meshes
+    ])
+    hbs = jnp.tile(jnp.asarray(hb)[None], (n_objects, 1, 1))
+    hqs = jnp.tile(jnp.asarray(hq)[None], (n_objects, 1))
+
+    st = sweep.init_state()
+    st, res = sweep.step(st, depths, hbs, hqs)     # compile (init mode decided
+    _ = np.asarray(res.poses)                      # per object on device)
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        st, res = sweep.step(st, depths, hbs, hqs)
+    _ = np.asarray(res.poses)
+    dt = (time.perf_counter() - t0) / n_rep
+    value = n_objects / dt
+    print(json.dumps({
+        "metric": f"library_sweep_objects_tracked_per_sec_{n_objects}obj_128p",
+        "value": round(value, 2),
+        "unit": "object-frames/sec/chip",
+        "vs_baseline": round(value * particles * pso_iters / 1000.0, 3),
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -37,7 +95,7 @@ def main() -> None:
                            cx=320.0, cy=240.0)
     pso_iters = 10
     cfg = EstimatorConfig(
-        camera=cam, scene_points=2048, render_size=120,
+        camera=cam, scene_points=2048,
         pso=PsoConfig(particles=512, iters=pso_iters),
     )
     mesh = meshio.make_test_object("box")
@@ -57,16 +115,16 @@ def main() -> None:
     hq = jnp.asarray(hand_q)
 
     def run(seed):
-        out = est.estimate(depth, prev, hb, hq, key=jax.random.key(seed),
-                           mode="track")
-        jax.block_until_ready(out.pose)
-        return out
+        return est.estimate(depth, prev, hb, hq, key=jax.random.key(seed),
+                            mode="track")
 
-    run(0)  # compile
-    n_rep = 5
+    out = run(0)  # compile
+    _ = np.asarray(out.pose)  # host fetch: tunnels ignore block_until_ready
+    n_rep = 8
     t0 = time.perf_counter()
     for i in range(n_rep):
         out = run(i + 1)
+    _ = np.asarray(out.pose)
     dt = (time.perf_counter() - t0) / n_rep
 
     hyps_per_frame = cfg.pso.particles * pso_iters
@@ -81,4 +139,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--sweep" in sys.argv:
+        bench_sweep()
+    else:
+        main()

@@ -44,7 +44,7 @@ def _make_hand(cfg):
     return make_t42_hand() if cfg.hand.enabled else None
 
 
-def _track_frames(est, frames, out_dir, log_every=1):
+def _track_frames(est, frames, out_dir, log_every=1, overlays=False):
     """Shared tracking loop: frames is an iterable of objects with
     .depth/.hand_base/.hand_q/.pose_gt (pose_gt optional)."""
     import jax.numpy as jnp
@@ -57,6 +57,10 @@ def _track_frames(est, frames, out_dir, log_every=1):
     os.makedirs(out_dir, exist_ok=True)
     pose_dir = os.path.join(out_dir, "poses")
     os.makedirs(pose_dir, exist_ok=True)
+    if overlays:
+        from .visualize import save_overlay
+        ov_dir = os.path.join(out_dir, "overlays")
+        os.makedirs(ov_dir, exist_ok=True)
     tracker = Tracker(est)
     est_poses, gt_poses = [], []
     model_pts = np.asarray(est.obj.model_pts)
@@ -83,6 +87,14 @@ def _track_frames(est, frames, out_dir, log_every=1):
                 rec["add_s"] = add_s_error(pose, fr.pose_gt, model_pts)
                 rec["trans_err"] = translation_error(pose, fr.pose_gt)
             log.log(**rec)
+            if overlays:
+                save_overlay(
+                    os.path.join(ov_dir, f"overlay_{i:06d}.png"),
+                    np.asarray(fr.depth), pose, est.obj, est.cfg.camera,
+                    hand=est.hand,
+                    hand_base=np.asarray(fr.hand_base) if fr.hand_base is not None else None,
+                    hand_q=np.asarray(fr.hand_q) if fr.hand_q is not None else None,
+                )
             if log_every and i % log_every == 0:
                 extra = (
                     f" ADD-S={rec['add_s']*1000:.2f}mm" if "add_s" in rec else ""
@@ -116,7 +128,8 @@ def cmd_track(args):
     cfg = _load_cfg(args, camera=seq.camera)
     obj = ObjectModel.load(args.object, model_points=cfg.model_points)
     est = Estimator(obj, _make_hand(cfg), cfg)
-    return _track_frames(est, seq, args.out)
+    _track_frames(est, seq, args.out, overlays=args.overlays)
+    return 0
 
 
 def cmd_demo(args):
@@ -152,7 +165,8 @@ def cmd_demo(args):
     seq = RecordedSequence(seq_dir)
     obj = ObjectModel(mesh, model_points=cfg.model_points)
     est = Estimator(obj, hand, cfg)
-    return _track_frames(est, seq, args.out)
+    _track_frames(est, seq, args.out, overlays=args.overlays)
+    return 0
 
 
 def cmd_eval(args):
@@ -160,6 +174,9 @@ def cmd_eval(args):
     from .evaluation import evaluate_trajectory
     from .models import ObjectModel
 
+    if not os.path.exists(args.poses):
+        print(f"error: --poses path not found: {args.poses}", file=sys.stderr)
+        return 2
     seq = RecordedSequence(args.data)
     obj = ObjectModel.load(args.object)
     est_poses = []
@@ -182,6 +199,7 @@ def cmd_eval(args):
     )
     print(summary)
     print(json.dumps(summary.to_dict()))
+    return 0
 
 
 def cmd_bench(args):
@@ -204,6 +222,8 @@ def main(argv=None):
     p.add_argument("--object", required=True, help="object mesh (.obj/.ply)")
     p.add_argument("--config", default=None, help="YAML config")
     p.add_argument("--out", default="out", help="output directory")
+    p.add_argument("--overlays", action="store_true",
+                   help="save per-frame overlay PNGs")
     p.set_defaults(fn=cmd_track)
 
     p = sub.add_parser("demo", help="synthetic grasp sequence end-to-end")
@@ -215,6 +235,8 @@ def main(argv=None):
     p.add_argument("--particles", type=int, default=None)
     p.add_argument("--config", default=None)
     p.add_argument("--out", default="out_demo")
+    p.add_argument("--overlays", action="store_true",
+                   help="save per-frame overlay PNGs")
     p.set_defaults(fn=cmd_demo)
 
     p = sub.add_parser("eval", help="score saved poses against ground truth")

@@ -51,19 +51,21 @@ class Estimator:
         hand: HandModel | None,
         cfg: EstimatorConfig = EstimatorConfig(),
         nn_fn=None,
+        corr_fn=None,
         mesh: jax.sharding.Mesh | None = None,
         axis_name: str = "p",
     ):
         self.obj = obj
         self.hand = hand if (hand is not None and cfg.hand.enabled) else None
         self.cfg = cfg
-        if nn_fn is None and jax.default_backend() == "tpu":
-            # the fused Pallas correspondence kernel is the default on
-            # real TPUs (2x the dense-jnp path, no [P,Ns,Nm] in HBM);
+        if corr_fn is None and nn_fn is None and jax.default_backend() == "tpu":
+            # the fused Pallas NN+gather correspondence kernel is the
+            # default on real TPUs (no [P,Ns,Nm] in HBM, no XLA gathers);
             # CPU tests keep the XLA path (interpret mode is far slower)
             from ..ops import knn_pallas
-            nn_fn = knn_pallas.make_nn_fn()
+            corr_fn = knn_pallas.make_corr_fn()
         self.nn_fn = nn_fn
+        self.corr_fn = corr_fn
         # Optional device mesh: the swarm's particle axis is sharded over
         # `axis_name`; frame inputs are replicated, the per-iteration
         # global-best agreement is a tiny all_gather over ICI
@@ -209,10 +211,9 @@ class Estimator:
         #    random orientations at the observed centroid.
         wsum = jnp.maximum(jnp.sum(weights), 1e-9)
         centroid = jnp.sum(scene.points * weights[:, None], 0) / wsum
-        kp = jax.random.split(k_init, n_particles)
-        tracked = jax.vmap(
-            lambda kk: se3.perturb_pose(kk, prev_pose, rot_sigma, trans_sigma)
-        )(kp)
+        tracked = se3.perturb_pose(
+            k_init, prev_pose, rot_sigma, trans_sigma, shape=(n_particles,)
+        )
         kq, kt = jax.random.split(k_init)
         rand_R = se3.random_rotation(kq, (n_particles,))
         rand_t = centroid[None] + jax.random.normal(kt, (n_particles, 3)) * trans_sigma
@@ -234,7 +235,7 @@ class Estimator:
             height=self.lo_h, width=self.lo_w,
             splat_radius=1,
             pso_cfg=pso_cfg, icp_cfg=cfg.icp, score_cfg=cfg.score,
-            nn_fn=self.nn_fn, axis_name=axis_name,
+            nn_fn=self.nn_fn, corr_fn=self.corr_fn, axis_name=axis_name,
         )
         return FrameResult(
             pose=result.best_pose,

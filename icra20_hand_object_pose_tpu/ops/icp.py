@@ -154,6 +154,7 @@ def icp_batched(
     step_scale: float = 1.0,
     converge_tol: float = 1e-6,
     nn_fn: Callable | None = None,
+    corr_fn: Callable | None = None,
 ) -> tuple[jax.Array, IcpStats]:
     """Batched point-to-plane ICP, natively tensorized over the particle
     axis (BASELINE.json config-2 "batched 64-particle refine"): all P
@@ -161,10 +162,13 @@ def icp_batched(
     correspondence search + ONE batched GN solve — not P programs.
 
     Fixed iteration count (jit/vmap/scan safe); per-particle convergence
-    via freezing (SURVEY.md §8 hard part 5). nn_fn(query, ref) ->
-    (idx, d2) overrides the correspondence search with the Pallas kernel;
-    it receives query [Ns,3] + ref [P,Nm,3] and must return [P,Ns]
-    results; defaults to the dense jnp path.
+    via freezing (SURVEY.md §8 hard part 5). Correspondence overrides:
+    - corr_fn(scene [Ns,3], posed_pts [P,Nm,3], posed_normals [P,Nm,3])
+      -> (matched [P,Ns,3], mnormal [P,Ns,3], d2 [P,Ns], idx [P,Ns]) —
+      the fused Pallas NN+gather kernel (knn_pallas.make_corr_fn);
+    - nn_fn(query [Ns,3], ref [P,Nm,3]) -> (idx, d2 [P,Ns]) — NN only,
+      matched points gathered with XLA;
+    - default: dense jnp distance matrix.
     """
     P = poses0.shape[0]
     min_cos = math.cos(math.radians(normal_angle_max_deg))
@@ -184,10 +188,13 @@ def icp_batched(
     def body(carry, _):
         poses, frozen = carry                                     # [P,4,4],[P]
         posed = se3.transform_points(poses, model_pts)            # [P,Nm,3]
-        idx, d2 = search(scene_pts, posed)                        # [P,Ns]
-        matched = jnp.take_along_axis(posed, idx[..., None], axis=1)
         mnorm_all = se3.rotate_vectors(poses, model_normals)      # [P,Nm,3]
-        mnorm = jnp.take_along_axis(mnorm_all, idx[..., None], axis=1)
+        if corr_fn is not None:
+            matched, mnorm, d2, idx = corr_fn(scene_pts, posed, mnorm_all)
+        else:
+            idx, d2 = search(scene_pts, posed)                    # [P,Ns]
+            matched = jnp.take_along_axis(posed, idx[..., None], axis=1)
+            mnorm = jnp.take_along_axis(mnorm_all, idx[..., None], axis=1)
         w = correspondence_weights(
             d2, scene_normals[None], mnorm, scene_weights[None],
             max_corresp_dist, min_cos,

@@ -147,6 +147,153 @@ def nn_batched(
     return idx[:, 0, :Ns], d2[:, 0, :Ns]
 
 
+def _make_gather_kernel(tile_m: int, n_tiles_m: int):
+    """NN + in-kernel correspondence gather.
+
+    ref pack rows: [1, x, y, z, nx, ny, nz, 0]; query rows [x, y, z, 0..].
+    Output channel rows: [d2, mx, my, mz, mnx, mny, mnz, 1]. The matched
+    point/normal are selected with a one-hot MXU matmul (iota == argmin),
+    in double-bf16 (hi + lo splits): exact onehot x bf16 operands keeps
+    ~1e-7 coordinate accuracy at 1/3 the cost of a HIGHEST-precision f32
+    matmul. Replaces two XLA take_along_axis gathers that cost more than
+    the NN search itself (~25-40 ms at [512,2048] on v5e).
+    """
+
+    def _kernel(q_ref, r_ref, chan_ref, idx_ref):
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _():
+            chan_ref[...] = jnp.full_like(chan_ref, jnp.inf)
+            idx_ref[...] = jnp.zeros_like(idx_ref)
+
+        q = q_ref[0]          # [8, TS]
+        r = r_ref[0]          # [8, TM]
+        acc = None
+        for c in range(3):
+            diff = r[c + 1][:, None] - q[c][None, :]
+            acc = diff * diff if acc is None else acc + diff * diff
+        lm = jnp.min(acc, axis=0, keepdims=True)                   # [1, TS]
+        la = jnp.argmin(acc, axis=0, keepdims=True).astype(jnp.int32)
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+        onehot = (iota_m == la).astype(jnp.bfloat16)               # exact
+        r_hi = r.astype(jnp.bfloat16)
+        r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        sel = (
+            jax.lax.dot_general(r_hi, onehot, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(r_lo, onehot, dn,
+                                  preferred_element_type=jnp.float32)
+        )                                                          # [8, TS]
+        row = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+        cand = jnp.where(row == 0, jnp.broadcast_to(lm, sel.shape), sel)
+        cur = chan_ref[0]
+        better = lm < cur[0:1]
+        chan_ref[0] = jnp.where(
+            jnp.broadcast_to(better, cur.shape), cand, cur
+        )
+        idx_ref[0] = jnp.where(
+            jnp.broadcast_to(better, cur.shape),
+            jnp.broadcast_to(la + j * tile_m, cur.shape), idx_ref[0],
+        )
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_s", "tile_m", "interpret")
+)
+def nn_gather_batched(
+    query: jax.Array,        # [1|P, Ns, 3]
+    ref_pts: jax.Array,      # [P, Nm, 3]
+    ref_normals: jax.Array,  # [P, Nm, 3]
+    *,
+    tile_s: int = 2048,
+    tile_m: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused NN + correspondence gather: returns
+    (matched_pts [P,Ns,3], matched_normals [P,Ns,3], d2 [P,Ns], idx [P,Ns])."""
+    Pq, Ns, _ = query.shape
+    P, Nm, _ = ref_pts.shape
+    if Pq not in (1, P):
+        raise ValueError(f"query batch {Pq} incompatible with ref batch {P}")
+    ts = min(tile_s, _round_up(Ns, 128))
+    tm = min(tile_m, _round_up(Nm, 128))
+    ns_p = _round_up(Ns, ts)
+    nm_p = _round_up(Nm, tm)
+
+    qt = jnp.pad(
+        query.astype(jnp.float32), ((0, 0), (0, ns_p - Ns), (0, 5))
+    ).transpose(0, 2, 1)
+    ones = jnp.ones((P, Nm, 1), jnp.float32)
+    zeros = jnp.zeros((P, Nm, 1), jnp.float32)
+    packed = jnp.concatenate(
+        [ones, ref_pts.astype(jnp.float32),
+         ref_normals.astype(jnp.float32), zeros], axis=-1,
+    )                                                     # [P, Nm, 8]
+    rt = jnp.pad(packed, ((0, 0), (0, nm_p - Nm), (0, 0)))
+    if nm_p > Nm:
+        rt = rt.at[:, Nm:, 1:4].set(_PAD_COORD)
+    rt = rt.transpose(0, 2, 1)                            # [P, 8, nm_p]
+
+    kernel = _make_gather_kernel(tm, nm_p // tm)
+    q_index = (
+        (lambda p, i, j: (0, 0, i)) if Pq == 1 else (lambda p, i, j: (p, 0, i))
+    )
+    chan, idx = pl.pallas_call(
+        kernel,
+        grid=(P, ns_p // ts, nm_p // tm),
+        in_specs=[
+            pl.BlockSpec((1, 8, ts), q_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tm), lambda p, i, j: (p, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, ts), lambda p, i, j: (p, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, ts), lambda p, i, j: (p, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, 8, ns_p), jnp.float32),
+            jax.ShapeDtypeStruct((P, 8, ns_p), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(9 + 2 * 8 * 2) * P * ns_p * nm_p,
+            bytes_accessed=4 * P * (
+                ns_p * 8 + nm_p * 8 * (ns_p // ts) + 16 * ns_p
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qt, rt)
+    d2 = chan[:, 0, :Ns]
+    matched = chan[:, 1:4, :Ns].transpose(0, 2, 1)
+    mnormal = chan[:, 4:7, :Ns].transpose(0, 2, 1)
+    return matched, mnormal, d2, idx[:, 0, :Ns]
+
+
+def make_corr_fn(
+    *, tile_s: int = 2048, tile_m: int = 512, interpret: bool | None = None
+):
+    """A `corr_fn(scene [Ns,3], posed_pts [P,Nm,3], posed_normals
+    [P,Nm,3]) -> (matched, mnormal, d2, idx)` drop-in for ops/icp.py,
+    backed by the fused NN+gather kernel."""
+    if interpret is None:
+        interpret = not default_on_tpu()
+
+    def corr_fn(scene_pts, posed_pts, posed_normals):
+        return nn_gather_batched(
+            scene_pts[None] if scene_pts.ndim == 2 else scene_pts,
+            posed_pts, posed_normals,
+            tile_s=tile_s, tile_m=tile_m, interpret=interpret,
+        )
+
+    return corr_fn
+
+
 def default_on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 

@@ -115,6 +115,7 @@ def pso(
     icp_cfg: IcpConfig = IcpConfig(),
     score_cfg: ScoreConfig = ScoreConfig(),
     nn_fn=None,
+    corr_fn=None,
     axis_name: str | None = None,
 ) -> PsoResult:
     """Annealed swarm search over SE(3) with in-loop batched ICP refine.
@@ -162,7 +163,7 @@ def pso(
             normal_angle_max_deg=icp_cfg.normal_angle_max_deg,
             damping=icp_cfg.damping,
             step_scale=icp_cfg.step_scale,
-            nn_fn=nn_fn,
+            nn_fn=nn_fn, corr_fn=corr_fn,
         )
         return refined
 
@@ -195,12 +196,11 @@ def pso(
         # 1. perturb: annealed SE(3) noise about each particle's own pose;
         #    particle 0 is pinned to the incumbent best (elitism) so the
         #    best-ever hypothesis is always re-evaluated, never lost.
-        pk = jax.random.split(k_pert, P)
-        perturbed = jax.vmap(
-            lambda kk, T: se3.perturb_pose(
-                kk, T, pso_cfg.rot_sigma * sig, pso_cfg.trans_sigma * sig
-            )
-        )(pk, poses)
+        #    One batched noise draw, not P split keys + vmap.
+        perturbed = se3.perturb_pose(
+            k_pert, poses, pso_cfg.rot_sigma * sig, pso_cfg.trans_sigma * sig,
+            shape=(P,),
+        )
         poses = perturbed.at[0].set(best_pose)
 
         # 2. ICP refine (data-driven local pull), every icp_every iters.
@@ -220,17 +220,15 @@ def pso(
         best_cov = jnp.where(improved, bc, best_cov)
 
         # 5. elite resample: the worst n_resample particles teleport to
-        #    fresh perturbations of the global best.
+        #    fresh perturbations of the global best. top_k on negated
+        #    fitness beats a full argsort in the scan body.
         if n_resample > 0:
-            order = jnp.argsort(fitness)             # ascending: worst first
-            worst = order[:n_resample]
-            rk = jax.random.split(k_res, n_resample)
-            fresh = jax.vmap(
-                lambda kk: se3.perturb_pose(
-                    kk, best_pose,
-                    pso_cfg.rot_sigma * sig, pso_cfg.trans_sigma * sig,
-                )
-            )(rk)
+            _, worst = jax.lax.top_k(-fitness, n_resample)
+            fresh = se3.perturb_pose(
+                k_res, best_pose,
+                pso_cfg.rot_sigma * sig, pso_cfg.trans_sigma * sig,
+                shape=(n_resample,),
+            )
             poses = poses.at[worst].set(fresh)
             fitness = fitness.at[worst].set(-jnp.inf)
 
@@ -251,7 +249,7 @@ def pso(
         normal_angle_max_deg=icp_cfg.normal_angle_max_deg,
         damping=icp_cfg.damping,
         step_scale=icp_cfg.step_scale,
-        nn_fn=nn_fn,
+        nn_fn=nn_fn, corr_fn=corr_fn,
     )
     # Full-resolution geometric refinement is trusted within a small
     # fitness tolerance — the point/pixel score is a coarse (quantized,
@@ -278,14 +276,12 @@ def pso(
         def fbody(carry, _):
             best_pose, best_fit, best_cov, sig, k = carry
             k, kp = jax.random.split(k)
-            pk = jax.random.split(kp, Pf)
-            cand = jax.vmap(
-                lambda kk: se3.perturb_pose(
-                    kk, best_pose,
-                    pso_cfg.rot_sigma * fs0 * sig,
-                    pso_cfg.trans_sigma * fs0 * sig,
-                )
-            )(pk)
+            cand = se3.perturb_pose(
+                kp, best_pose,
+                pso_cfg.rot_sigma * fs0 * sig,
+                pso_cfg.trans_sigma * fs0 * sig,
+                shape=(Pf,),
+            )
             cand = cand.at[0].set(best_pose)
             f, c = score_fn(cand)
             bp, bf, bc = swarm_best(cand, f, c)

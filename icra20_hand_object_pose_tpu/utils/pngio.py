@@ -46,6 +46,25 @@ def write_png16(path: str, img: np.ndarray) -> None:
         f.write(_chunk(b"IEND", b""))
 
 
+def write_png_rgb(path: str, img: np.ndarray) -> None:
+    """uint8 [H,W,3] -> 8-bit RGB PNG (for overlay visualizations)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[-1] != 3:
+        raise ValueError(f"need uint8 [H,W,3], got {img.dtype} {img.shape}")
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = img.tobytes()
+    stride = 3 * w
+    scanlines = b"".join(
+        b"\x00" + raw[y * stride:(y + 1) * stride] for y in range(h)
+    )
+    with open(path, "wb") as f:
+        f.write(_SIG)
+        f.write(_chunk(b"IHDR", ihdr))
+        f.write(_chunk(b"IDAT", zlib.compress(scanlines, 6)))
+        f.write(_chunk(b"IEND", b""))
+
+
 def _unfilter(data: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     stride = w * bpp
     out = np.zeros((h, stride), np.uint8)

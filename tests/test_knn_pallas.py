@@ -84,3 +84,42 @@ def test_shared_query_batch():
         ref_idx, ref_d2 = knn.nn(q[0], r[p])
         np.testing.assert_allclose(np.asarray(d2[p]), np.asarray(ref_d2),
                                    rtol=1e-3, atol=1e-7)
+
+
+def test_corr_fn_matches_gathers():
+    """Fused NN+gather kernel == NN + XLA take_along_axis."""
+    kq, kr, kn = jax.random.split(jax.random.key(5), 3)
+    q = jax.random.uniform(kq, (40, 3), minval=-0.3, maxval=0.3)
+    r = jax.random.uniform(kr, (3, 70, 3), minval=-0.3, maxval=0.3)
+    rn = jax.random.normal(kn, (3, 70, 3))
+    corr = knn_pallas.make_corr_fn(tile_s=64, tile_m=64, interpret=True)
+    matched, mnorm, d2, idx = corr(q, r, rn)
+    for p in range(3):
+        ref_idx, ref_d2 = knn.nn(q, r[p])
+        np.testing.assert_allclose(np.asarray(d2[p]), np.asarray(ref_d2),
+                                   rtol=1e-3, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(matched[p]), np.asarray(r[p][ref_idx]), atol=5e-6)
+        np.testing.assert_allclose(
+            np.asarray(mnorm[p]), np.asarray(rn[p][ref_idx]), atol=5e-4)
+
+
+def test_icp_with_corr_fn():
+    from icra20_hand_object_pose_tpu.ops import icp
+    from icra20_hand_object_pose_tpu.utils import meshio, se3
+
+    mesh = meshio.make_test_object("box")
+    mpts, mnrm = mesh.sample_surface(128, seed=0)
+    mpts, mnrm = jnp.asarray(mpts), jnp.asarray(mnrm)
+    T_gt = se3.make_pose(jnp.eye(3), jnp.asarray([0.0, 0.0, 0.4]))
+    scene = se3.transform_points(T_gt, mpts)
+    snrm = se3.rotate_vectors(T_gt, mnrm)
+    w = jnp.ones(scene.shape[0])
+    keys = jax.random.split(jax.random.key(6), 4)
+    poses0 = jax.vmap(lambda k: se3.perturb_pose(k, T_gt, 0.05, 0.008))(keys)
+    corr = knn_pallas.make_corr_fn(tile_s=128, tile_m=128, interpret=True)
+    refined, _ = icp.icp_batched(
+        poses0, scene, snrm, w, mpts, mnrm,
+        iters=10, max_corresp_dist=0.05, corr_fn=corr)
+    errs = jax.vmap(lambda T: se3.add_error(T, T_gt, mpts))(refined)
+    assert float(jnp.max(errs)) < 0.002, np.asarray(errs)
