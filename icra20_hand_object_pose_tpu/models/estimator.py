@@ -181,8 +181,10 @@ class Estimator:
             seg = cfg.hand.segment_dist
             # drop pixels on or behind the rendered hand
             extra_invalid = jnp.isfinite(hd_full) & (depth_m > hd_full - seg)
+            hd_hi = hd_full
         else:
             hd_lo = jnp.full((self.lo_h, self.lo_w), jnp.inf, depth_m.dtype)
+            hd_hi = jnp.full(depth_m.shape, jnp.inf, depth_m.dtype)
             hand_flat = None
             extra_invalid = None
 
@@ -236,6 +238,10 @@ class Estimator:
             splat_radius=1,
             pso_cfg=pso_cfg, icp_cfg=cfg.icp, score_cfg=cfg.score,
             nn_fn=self.nn_fn, corr_fn=self.corr_fn, axis_name=axis_name,
+            observed_hi=(
+                scene.depth_full, scene.valid_full, hd_hi,
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.height, cam.width,
+            ),
         )
         return FrameResult(
             pose=result.best_pose,

@@ -215,3 +215,49 @@ def make_t42_hand(points_per_link: int = 256) -> HandModel:
                  axis=np.array([0, 1, 0]), joint=1, coupling=+0.7, rest=0.15),
     ]
     return HandModel(links, n_joints=2, points_per_link=points_per_link)
+
+
+def make_model_o_hand(points_per_link: int = 256) -> HandModel:
+    """Three-finger underactuated gripper approximating the OpenHand
+    Model O (the reference dataset's second hand besides the T42:
+    SURVEY.md §1 "Yale OpenHand-class ... Model T42 / Model O").
+
+    Hand-base frame matches make_t42_hand: palm at origin, fingers along
+    +z. Two opposing fingers on the +x side, one thumb on the -x side;
+    J=3 actuated tendons (one per finger) with coupled distal joints.
+    """
+    palm = meshio.make_cylinder(radius=0.045, height=0.035, segments=24)
+    prox = meshio.make_capsule(radius=0.010, length=0.055)
+    dist = meshio.make_capsule(radius=0.008, length=0.042)
+
+    def T(t, R=np.eye(3)):
+        M = np.eye(4, dtype=np.float32)
+        M[:3, :3] = R
+        M[:3, 3] = t
+        return M
+
+    def rot_z(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    links = [
+        HandLink("palm", palm, parent=-1, origin=T([0, 0, 0]),
+                 axis=np.zeros(3)),
+    ]
+    # fingers at +x +/- 25mm y (curl toward -x), thumb at -x (curl +x)
+    specs = [
+        ("f1", [+0.034, +0.025, 0.016], np.array([0, 1, 0]), -1.0),
+        ("f2", [+0.034, -0.025, 0.016], np.array([0, 1, 0]), -1.0),
+        ("thumb", [-0.034, 0.0, 0.016], np.array([0, 1, 0]), +1.0),
+    ]
+    for j, (name, base, axis, sgn) in enumerate(specs):
+        pidx = len(links)
+        links.append(HandLink(
+            f"{name}_prox", prox, parent=0, origin=T(base),
+            axis=axis, joint=j, coupling=sgn,
+        ))
+        links.append(HandLink(
+            f"{name}_dist", dist, parent=pidx, origin=T([0.0, 0.0, 0.055]),
+            axis=axis, joint=j, coupling=sgn * 0.7, rest=sgn * 0.15,
+        ))
+    return HandModel(links, n_joints=3, points_per_link=points_per_link)

@@ -27,14 +27,20 @@ class SceneCloud(NamedTuple):
     points:  [Ns,3] camera-frame points (padding -> large sentinel coords)
     normals: [Ns,3] unit normals (padding -> 0)
     weights: [Ns]   1.0 valid / 0.0 padding
-    depth:   [H,W]  observed depth (meters, 0 = invalid) for render-compare
-    valid:   [H,W]  bool validity mask of `depth`
+    depth:   [h,w]  render-factor-downsampled depth (0 = invalid) — the
+             coarse scoring tier for the PSO basin search
+    valid:   [h,w]  bool validity mask of `depth`
+    depth_full: [H,W] full-resolution depth — the fine scoring tier
+             (final polish acceptance + finisher)
+    valid_full: [H,W]
     """
     points: jax.Array
     normals: jax.Array
     weights: jax.Array
     depth: jax.Array
     valid: jax.Array
+    depth_full: jax.Array
+    valid_full: jax.Array
 
 
 def downsample_depth(depth: jax.Array, valid: jax.Array, factor: int) -> tuple[jax.Array, jax.Array]:
@@ -110,4 +116,5 @@ def preprocess_frame(
     nvalid = valid & (jnp.sum(normals * normals, axis=-1) > 0.5)
     pts, nrm, w = subsample_cloud(key, cloud, normals, nvalid, n_points)
     d_lo, v_lo = downsample_depth(depth_c, valid, render_factor)
-    return SceneCloud(points=pts, normals=nrm, weights=w, depth=d_lo, valid=v_lo)
+    return SceneCloud(points=pts, normals=nrm, weights=w, depth=d_lo,
+                      valid=v_lo, depth_full=depth_c, valid_full=valid)

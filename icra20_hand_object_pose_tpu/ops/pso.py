@@ -117,6 +117,7 @@ def pso(
     nn_fn=None,
     corr_fn=None,
     axis_name: str | None = None,
+    observed_hi: tuple | None = None,
 ) -> PsoResult:
     """Annealed swarm search over SE(3) with in-loop batched ICP refine.
 
@@ -135,6 +136,12 @@ def pso(
     P = poses0.shape[0]
     n_resample = max(1, int(round(P * pso_cfg.elite_frac))) if P > 1 else 0
 
+    # Two-tier scoring: the basin search (scan) scores against the
+    # render-factor tier; the polish acceptance + finisher score against
+    # `observed_hi` = (depth, valid, hand_depth, fx, fy, cx, cy, h, w) at
+    # full resolution, whose silhouette evidence is pixel-sharp. The
+    # coarse tier's gathers index a 16x smaller table (measurably
+    # cheaper) and the scan does not need sub-mm discrimination.
     score_fn = partial(
         score_particles,
         render_pts=render_pts, render_normals=render_normals,
@@ -144,6 +151,18 @@ def pso(
         fx=fx, fy=fy, cx=cx, cy=cy, height=height, width=width,
         splat_radius=splat_radius, score_cfg=score_cfg,
     )
+    if observed_hi is not None:
+        (d_hi, v_hi, h_hi, fx_h, fy_h, cx_h, cy_h, hh, wh) = observed_hi
+        score_fn_hi = partial(
+            score_particles,
+            render_pts=render_pts, render_normals=render_normals,
+            render_w=render_w,
+            observed_depth=d_hi, observed_valid=v_hi, hand_depth=h_hi,
+            fx=fx_h, fy=fy_h, cx=cx_h, cy=cy_h, height=hh, width=wh,
+            splat_radius=splat_radius, score_cfg=score_cfg,
+        )
+    else:
+        score_fn_hi = score_fn
 
     # Stochastic inner ICP (cf. SGD-ICP, PAPERS.md): the in-loop refine
     # pulls each particle toward the local basin — it does not need every
@@ -251,11 +270,13 @@ def pso(
         step_scale=icp_cfg.step_scale,
         nn_fn=nn_fn, corr_fn=corr_fn,
     )
-    # Full-resolution geometric refinement is trusted within a small
-    # fitness tolerance — the point/pixel score is a coarse (quantized,
-    # tau-saturated) surrogate, and rejecting a polished pose over score
-    # noise measurably costs accuracy at low render resolution.
-    pf, pc = score_fn(polished[None])
+    # Switch to the fine scoring tier: re-baseline the incumbent best so
+    # every comparison below is hi-vs-hi, then gate the polish within a
+    # small fitness tolerance — the score is a coarse (quantized,
+    # tau-saturated) surrogate and geometric refinement is trusted.
+    bf_hi, bc_hi = score_fn_hi(best_pose[None])
+    best_fit, best_cov = bf_hi[0], bc_hi[0]
+    pf, pc = score_fn_hi(polished[None])
     keep = pf[0] >= best_fit - pso_cfg.polish_accept_tol
     best_pose = jnp.where(keep, polished, best_pose)
     best_fit = jnp.where(keep, pf[0], best_fit)
@@ -283,7 +304,7 @@ def pso(
                 shape=(Pf,),
             )
             cand = cand.at[0].set(best_pose)
-            f, c = score_fn(cand)
+            f, c = score_fn_hi(cand)
             bp, bf, bc = swarm_best(cand, f, c)
             improved = bf > best_fit
             best_pose = jnp.where(improved, bp, best_pose)

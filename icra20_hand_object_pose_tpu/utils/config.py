@@ -117,11 +117,10 @@ class EstimatorConfig:
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     scene_points: int = 2048            # fixed-size subsampled scene cloud
     model_points: int = 1024            # fixed-size model cloud
-    render_size: int = 480              # render-and-compare raster height;
-                                        # point-mode scoring is resolution-
-                                        # insensitive in cost, so full res
-                                        # (sharpest silhouette evidence) is
-                                        # the default
+    render_size: int = 120              # coarse scoring tier height for the
+                                        # PSO basin search; polish + finisher
+                                        # always score at full camera res
+                                        # (two-tier, ops/pso.py)
     depth_min: float = 0.1              # meters; valid depth gate
     depth_max: float = 2.0
     dtype: str = "float32"

@@ -82,3 +82,26 @@ def test_sampled_clouds_nominal_first():
     nominal = hand.cloud(base, q)
     np.testing.assert_allclose(np.asarray(clouds[0]), np.asarray(nominal), atol=1e-6)
     assert float(jnp.abs(clouds[1] - nominal).max()) > 1e-4  # others differ
+
+
+def test_model_o_hand():
+    from icra20_hand_object_pose_tpu.models.hand import make_model_o_hand
+
+    hand = make_model_o_hand(points_per_link=64)
+    assert hand.n_joints == 3
+    assert hand.num_links == 7
+    q = jnp.asarray([0.3, 0.3, 0.3])
+    Ts = hand.fk(q)
+    assert Ts.shape == (7, 4, 4)
+    cloud = hand.cloud(jnp.eye(4), q)
+    assert cloud.shape == (7 * 64, 3)
+    assert bool(jnp.all(jnp.isfinite(cloud)))
+    # closing the grasp must shrink the gap between the f1 fingertip and
+    # the thumb fingertip (links 2 and 6; per-link point blocks of 64)
+    def tip_gap(q):
+        c = hand.cloud(jnp.eye(4), q).reshape(7, 64, 3)
+        f1 = jnp.mean(c[2, :, 0])
+        th = jnp.mean(c[6, :, 0])
+        return float(f1 - th)
+
+    assert tip_gap(jnp.asarray([0.7, 0.7, 0.7])) < tip_gap(jnp.zeros(3))
