@@ -142,10 +142,11 @@ def pso(
     # full resolution, whose silhouette evidence is pixel-sharp. The
     # coarse tier's gathers index a 16x smaller table (measurably
     # cheaper) and the scan does not need sub-mm discrimination.
+    kr = min(pso_cfg.scan_render_subset, render_pts.shape[0])
     score_fn = partial(
         score_particles,
-        render_pts=render_pts, render_normals=render_normals,
-        render_w=render_w,
+        render_pts=render_pts[:kr], render_normals=render_normals[:kr],
+        render_w=render_w[:kr],
         observed_depth=observed_depth, observed_valid=observed_valid,
         hand_depth=hand_depth,
         fx=fx, fy=fy, cx=cx, cy=cy, height=height, width=width,

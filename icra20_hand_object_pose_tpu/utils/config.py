@@ -49,7 +49,10 @@ class CameraIntrinsics:
 @dataclass(frozen=True)
 class IcpConfig:
     """Point-to-plane ICP (SURVEY.md §3; BASELINE.json config 1)."""
-    iters: int = 30
+    iters: int = 12                     # final-polish GN iterations; the
+                                        # polish starts near-converged (PSO
+                                        # best), 12 suffices and the fixed
+                                        # 30 cost ~40ms/frame at P=1
     max_corresp_dist: float = 0.02      # meters; gate for correspondences
     normal_angle_max_deg: float = 60.0  # reject normal-incompatible pairs
     damping: float = 1e-6               # Levenberg damping on the 6x6 solve
@@ -70,6 +73,9 @@ class PsoConfig:
     icp_model_subset: int = 512         # stochastic inner ICP: model points
     elite_frac: float = 0.25            # resample worst particles around best
     polish_accept_tol: float = 0.05     # final full-ICP polish acceptance
+    scan_render_subset: int = 512       # scoring samples for the coarse
+                                        # basin-search tier (full set is
+                                        # used at the fine tier)
     finish_iters: int = 12              # score-only annealed finisher stage
     finish_particles: int = 128         # finisher swarm size (per shard)
     finish_sigma_frac: float = 0.15     # finisher start sigma (x rot/trans)
