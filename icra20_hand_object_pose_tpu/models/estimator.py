@@ -269,11 +269,26 @@ class Estimator:
         cfg = self.cfg
         if key is None:
             key = jax.random.key(0)
+        # API-boundary validation (SURVEY.md §6 sanitizers): shape errors
+        # surface here as messages, not as jit shape-mismatch tracebacks.
+        cam = cfg.camera
+        if tuple(depth_m.shape) != (cam.height, cam.width):
+            raise ValueError(
+                f"depth shape {tuple(depth_m.shape)} != camera "
+                f"({cam.height}, {cam.width}); fix CameraIntrinsics"
+            )
+        if tuple(prev_pose.shape) != (4, 4):
+            raise ValueError(f"prev_pose must be [4,4], got {prev_pose.shape}")
         J = self.hand.n_joints if self.hand is not None else 1
         if hand_base is None:
             hand_base = jnp.eye(4)
         if hand_q is None:
             hand_q = jnp.zeros((J,))
+        hand_q = jnp.asarray(hand_q)
+        if self.hand is not None and hand_q.shape != (J,):
+            raise ValueError(
+                f"hand_q shape {tuple(hand_q.shape)} != ({J},) for this hand"
+            )
         tr = cfg.tracker
         if mode == "track":
             args = dict(

@@ -154,3 +154,18 @@ def test_watchdog_reinit(setup):
         jnp.asarray(f.depth), jnp.asarray(f.hand_base), jnp.asarray(f.hand_q)
     )
     assert out.reinitialized
+
+
+def test_estimate_input_validation(setup):
+    import pytest
+
+    est = Estimator(setup["obj"], setup["hand"], setup["cfg"])
+    cam = est.cfg.camera
+    bad_depth = jnp.zeros((cam.height + 2, cam.width))
+    with pytest.raises(ValueError, match="depth shape"):
+        est.estimate(bad_depth, jnp.eye(4))
+    good_depth = jnp.zeros((cam.height, cam.width))
+    with pytest.raises(ValueError, match="prev_pose"):
+        est.estimate(good_depth, jnp.eye(3))
+    with pytest.raises(ValueError, match="hand_q"):
+        est.estimate(good_depth, jnp.eye(4), jnp.eye(4), jnp.zeros((5,)))
