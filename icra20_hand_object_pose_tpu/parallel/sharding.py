@@ -75,8 +75,16 @@ class LibrarySweep:
         cfg: EstimatorConfig = EstimatorConfig(),
         mesh: Mesh | None = None,
         axis_name: str = "obj",
+        particle_axis: str | None = None,
         nn_fn=None,
     ):
+        """With a 2-D mesh and `particle_axis` set (e.g.
+        Mesh(devices.reshape(4, 2), ("obj", "p")), particle_axis="p"), the
+        sweep composes BOTH data-parallel axes: each object's swarm is
+        additionally sharded over the particle axis, with the per-
+        iteration global-best agreement as an all_gather over "p" within
+        each object's device column — objects over one ICI dimension,
+        particles over the other."""
         if not objects:
             raise ValueError("need at least one object")
         shapes = {
@@ -92,9 +100,26 @@ class LibrarySweep:
         self.cfg = cfg
         self.mesh = mesh
         self.axis_name = axis_name
+        self.particle_axis = particle_axis
+        if particle_axis is not None:
+            if mesh is None or particle_axis not in mesh.axis_names:
+                raise ValueError(
+                    f"particle_axis {particle_axis!r} needs a mesh with that "
+                    f"axis (got {mesh.axis_names if mesh else None})"
+                )
+            if self.n_objects % mesh.shape[axis_name]:
+                raise ValueError(
+                    f"{self.n_objects} objects not divisible by mesh axis "
+                    f"{axis_name}={mesh.shape[axis_name]}"
+                )
         # one estimator provides the traced frame program; its per-object
         # tensors are passed explicitly (vmapped axis 0)
         self._est = Estimator(objects[0], hand, cfg, nn_fn=nn_fn)
+        if particle_axis is not None:
+            # make _frame_step emit the cross-shard global-best all_gather
+            # over the particle axis (it runs inside our shard_map below)
+            self._est.mesh = mesh
+            self._est.axis_name = particle_axis
         self._model_pts = jnp.stack([o.model_pts for o in objects])
         self._model_normals = jnp.stack([o.model_normals for o in objects])
         self._render_pts = jnp.stack([o.render_pts for o in objects])
@@ -127,10 +152,52 @@ class LibrarySweep:
                     n_scene=obj_sharding,
                 ),
             )
-        # pjit with in_shardings forbids kwargs: statics go positional
-        self._sweep_jit = jax.jit(
-            self._sweep_step, static_argnums=(10, 11), **kwargs
-        )
+        if particle_axis is not None:
+            # 2-D path: one shard_map over (obj, particle) — object args
+            # sharded over `axis_name`, replicated over `particle_axis`;
+            # inside, each shard runs its slice of objects (vmap) with a
+            # per-shard slice of each swarm (_frame_step's axis_name RNG
+            # fold + all_gather global best over the particle axis).
+            from jax import shard_map
+
+            n_p = mesh.shape[particle_axis]
+
+            def sweep2d(
+                keys, depths, prev_poses, hand_bases, hand_qs, obj_tensors,
+                rot_sigma, trans_sigma, uniform_rot, roi_radius,
+                n_particles: int, pso_iters: int,
+            ):
+                if n_particles % n_p:
+                    raise ValueError(
+                        f"particles={n_particles} not divisible by mesh "
+                        f"axis {particle_axis}={n_p}"
+                    )
+
+                def local(*args10):
+                    fn = partial(
+                        self._est._frame_step,
+                        n_particles=n_particles // n_p,
+                        pso_iters=pso_iters,
+                    )
+                    return jax.vmap(fn)(*args10)
+
+                sm = shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(axis_name),) * 10,
+                    out_specs=P(axis_name), check_vma=False,
+                )
+                return sm(
+                    keys, depths, prev_poses, hand_bases, hand_qs,
+                    obj_tensors, rot_sigma, trans_sigma, uniform_rot,
+                    roi_radius,
+                )
+
+            self._sweep_jit = jax.jit(sweep2d, static_argnums=(10, 11))
+        else:
+            # pjit with in_shardings forbids kwargs: statics go positional
+            self._sweep_jit = jax.jit(
+                self._sweep_step, static_argnums=(10, 11), **kwargs
+            )
 
     def _sweep_step(
         self, keys, depths, prev_poses, hand_bases, hand_qs, obj_tensors,

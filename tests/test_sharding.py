@@ -115,3 +115,47 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_library_sweep_2d_mesh(tiny):
+    """Composed DP: 4 objects x 2-way particle sharding on a 4x2 mesh."""
+    import numpy as np2
+    from jax.sharding import Mesh
+
+    cfg, obj, hand, frame = tiny
+    objs = [
+        ObjectModel(meshio.make_test_object("box"), model_points=256,
+                    render_points=512, seed=i)
+        for i in range(4)
+    ]
+    mesh2d = Mesh(np2.asarray(jax.devices()).reshape(4, 2), ("obj", "p"))
+    sweep = LibrarySweep(objs, hand, cfg, mesh=mesh2d, axis_name="obj",
+                         particle_axis="p")
+    st = sweep.init_state()
+    depths = jnp.tile(jnp.asarray(frame.depth)[None], (4, 1, 1))
+    hbs = jnp.tile(jnp.asarray(frame.hand_base)[None], (4, 1, 1))
+    hqs = jnp.tile(jnp.asarray(frame.hand_q)[None], (4, 1))
+    st, res = sweep.step(st, depths, hbs, hqs)
+    assert res.poses.shape == (4, 4, 4)
+    assert bool(jnp.all(jnp.isfinite(res.fitness)))
+    # second (track-mode) step refines the global init of frame 0
+    st, res = sweep.step(st, depths, hbs, hqs)
+    adds = [
+        float(se3.add_s_error(res.poses[i], jnp.asarray(frame.pose_gt),
+                              objs[i].model_pts))
+        for i in range(4)
+    ]
+    assert max(adds) < 0.03, adds
+
+
+def test_library_sweep_2d_validation(tiny):
+    cfg, obj, hand, frame = tiny
+    import numpy as np2
+    from jax.sharding import Mesh
+
+    mesh2d = Mesh(np2.asarray(jax.devices()).reshape(4, 2), ("obj", "p"))
+    objs = [ObjectModel(meshio.make_test_object("box"), model_points=256,
+                        render_points=512, seed=i) for i in range(3)]
+    with pytest.raises(ValueError, match="divisible"):
+        LibrarySweep(objs, hand, cfg, mesh=mesh2d, axis_name="obj",
+                     particle_axis="p")
