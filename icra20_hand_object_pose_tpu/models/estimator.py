@@ -34,6 +34,12 @@ from .hand import HandModel
 from .object_model import ObjectModel
 
 
+def _ckpt_path(path: str) -> str:
+    """np.savez silently appends .npz when missing; mirror that on load so
+    save('ckpt') / load('ckpt') round-trips (ADVICE r1)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 class FrameResult(NamedTuple):
     pose: jax.Array           # [4,4] model->camera
     fitness: jax.Array        # scalar, higher better
@@ -387,7 +393,7 @@ class Tracker:
     def save(self, path: str) -> None:
         st = self.state
         np.savez(
-            path,
+            _ckpt_path(path),
             pose=np.asarray(st.pose),
             frame_idx=np.asarray(st.frame_idx),
             key=np.asarray(jax.random.key_data(st.key)),
@@ -396,7 +402,7 @@ class Tracker:
         )
 
     def load(self, path: str) -> None:
-        z = np.load(path)
+        z = np.load(_ckpt_path(path))
         self.state = TrackerState(
             pose=jnp.asarray(z["pose"]),
             frame_idx=jnp.asarray(z["frame_idx"]),

@@ -222,14 +222,20 @@ int dio_read_png16(const char* path, uint16_t* out, int64_t capacity,
   return 0;
 }
 
-// Probe dimensions without decoding pixel data.
+// Probe dimensions from the IHDR header alone: signature (8B) + IHDR
+// length/type (8B) + width/height (8B) + bit depth (1B) = first 25 bytes;
+// read 33 to keep the full IHDR in hand. Avoids pulling whole files into
+// memory at loader startup (ADVICE r1).
 int dio_png_dims(const char* path, int32_t* height, int32_t* width) {
-  std::vector<unsigned char> blob;
-  int rc = read_file(path, &blob);
-  if (rc != 0) return rc;
-  if (blob.size() < 33 || std::memcmp(blob.data(), kSig, 8) != 0) return -1;
-  *width = int32_t(be32(blob.data() + 16));
-  *height = int32_t(be32(blob.data() + 20));
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -100;
+  unsigned char hdr[33];
+  size_t rd = std::fread(hdr, 1, sizeof(hdr), f);
+  std::fclose(f);
+  if (rd < sizeof(hdr)) return -101;
+  if (std::memcmp(hdr, kSig, 8) != 0) return -1;
+  *width = int32_t(be32(hdr + 16));
+  *height = int32_t(be32(hdr + 20));
   return 0;
 }
 

@@ -99,8 +99,9 @@ def nn_batched(
     ns_p = _round_up(Ns, ts)
     nm_p = _round_up(Nm, tm)
 
-    # coordinate-major packing; query padding at 2*sentinel keeps padded
-    # queries far from everything (their results are sliced off anyway)
+    # coordinate-major packing; padded queries sit at the origin (zero pad)
+    # — harmless, their result rows are sliced off below. Only the REF pad
+    # needs the sentinel so no real query ever matches a padding point.
     qt = jnp.pad(
         query.astype(jnp.float32), ((0, 0), (0, ns_p - Ns), (0, 5))
     ).transpose(0, 2, 1)                                      # [P, 8, ns_p]
@@ -151,7 +152,8 @@ def _make_gather_kernel(tile_m: int, n_tiles_m: int):
     """NN + in-kernel correspondence gather.
 
     ref pack rows: [1, x, y, z, nx, ny, nz, 0]; query rows [x, y, z, 0..].
-    Output channel rows: [d2, mx, my, mz, mnx, mny, mnz, 1]. The matched
+    Output channel rows: [d2, mx, my, mz, mnx, mny, mnz, 0] (row 7 inherits
+    the ref pack's zero row and is unused by callers). The matched
     point/normal are selected with a one-hot MXU matmul (iota == argmin),
     in double-bf16 (hi + lo splits): exact onehot x bf16 operands keeps
     ~1e-7 coordinate accuracy at 1/3 the cost of a HIGHEST-precision f32

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.estimator import Estimator, FrameResult
+from ..models.estimator import Estimator, FrameResult, _ckpt_path
 from ..models.hand import HandModel
 from ..models.object_model import ObjectModel
 from ..utils.config import EstimatorConfig
@@ -278,7 +278,7 @@ class LibrarySweep:
 
     def save_state(self, state: SweepState, path: str) -> None:
         np.savez(
-            path,
+            _ckpt_path(path),
             poses=np.asarray(state.poses),
             fitness=np.asarray(state.fitness),
             initialized=np.asarray(state.initialized),
@@ -287,7 +287,7 @@ class LibrarySweep:
         )
 
     def load_state(self, path: str) -> SweepState:
-        z = np.load(path)
+        z = np.load(_ckpt_path(path))
         return SweepState(
             poses=jnp.asarray(z["poses"]),
             fitness=jnp.asarray(z["fitness"]),

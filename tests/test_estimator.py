@@ -141,6 +141,20 @@ def test_tracker_checkpoint_roundtrip(tmp_path, setup):
     assert np.allclose(np.asarray(o1.pose), np.asarray(o2.pose), atol=1e-5)
 
 
+def test_tracker_checkpoint_extensionless_path(tmp_path, setup):
+    """save('ckpt')/load('ckpt') must round-trip: np.savez silently appends
+    .npz on save, so load must normalize the same way (ADVICE r1)."""
+    est = Estimator(setup["obj"], setup["hand"], setup["cfg"])
+    t1 = Tracker(est, seed=0)
+    f = setup["frames"][0]
+    t1.step(jnp.asarray(f.depth), jnp.asarray(f.hand_base), jnp.asarray(f.hand_q))
+    p = str(tmp_path / "ckpt")  # no .npz
+    t1.save(p)
+    t2 = Tracker(est, seed=99)
+    t2.load(p)
+    assert np.allclose(np.asarray(t1.state.pose), np.asarray(t2.state.pose))
+
+
 def test_watchdog_reinit(setup):
     """Fitness collapse (empty frame) must trigger global re-registration
     on the following frame (SURVEY.md §6 failure detection)."""
