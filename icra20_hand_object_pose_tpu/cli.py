@@ -203,9 +203,9 @@ def cmd_eval(args):
 
 
 def cmd_bench(args):
-    import bench  # repo-root bench.py when run from checkout
+    from . import benchmarks  # packaged: works for installed wheels too
 
-    bench.main()
+    benchmarks.main()
 
 
 def main(argv=None):
