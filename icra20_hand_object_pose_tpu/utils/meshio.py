@@ -311,8 +311,162 @@ def make_capsule(radius=0.012, length=0.05, segments=12) -> Mesh:
     return cyl.merged(s0).merged(s1)
 
 
+def extrude_polygon(
+    poly: np.ndarray,        # [N,2] simple polygon, CCW in the xy plane
+    cap_tris: np.ndarray,    # [T,3] triangulation of the polygon (CCW)
+    height: float,
+    center: tuple = (0.0, 0.0, 0.0),
+) -> Mesh:
+    """Watertight prism from a CCW polygon: top/bottom caps + side quads.
+
+    CCW polygon + this winding gives outward normals everywhere — required
+    by the scorer's back-face visibility test (see make_cylinder note).
+    Used to build the CONCAVE test objects (L-bracket, T-shape) that
+    exercise self-occlusion, which the convex primitives above cannot.
+    """
+    poly = np.asarray(poly, np.float32)
+    cap = np.asarray(cap_tris, np.int32)
+    n = len(poly)
+    top = np.concatenate([poly, np.full((n, 1), height / 2, np.float32)], -1)
+    bot = np.concatenate([poly, np.full((n, 1), -height / 2, np.float32)], -1)
+    v = np.concatenate([top, bot]) + np.asarray(center, np.float32)
+    faces = [cap]                                  # top cap, +z outward (CCW)
+    faces.append(cap[:, ::-1] + n)                 # bottom cap, flipped
+    side = []
+    for i in range(n):
+        j = (i + 1) % n
+        # outward side winding for a CCW polygon viewed from +z
+        side += [[i, n + i, j], [j, n + i, n + j]]
+    faces.append(np.asarray(side, np.int32))
+    return Mesh(v.astype(np.float32), np.concatenate(faces).astype(np.int32))
+
+
+def revolve_profile(
+    profile: np.ndarray,     # [K,2] (radius, z) polyline, closed loop
+    segments: int = 32,
+    center: tuple = (0.0, 0.0, 0.0),
+) -> Mesh:
+    """Surface of revolution around +z from a closed (radius, z) profile.
+
+    The profile must be a closed CCW loop in the (r, z) half-plane
+    (traversed so that the outward normal is to its right when walking
+    the loop — e.g. bottom: axis->rim, up the outer wall, inward across
+    the top, down the inner wall). Rings at r=0 collapse to an apex
+    vertex. This is how the concave mug (hollow cavity) is built.
+    """
+    profile = np.asarray(profile, np.float32)
+    K = len(profile)
+    ang = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+    ca, sa = np.cos(ang), np.sin(ang)
+    ring_start: list[int] = []   # first vertex index of each ring
+    ring_size: list[int] = []    # segments, or 1 for an apex
+    verts: list[np.ndarray] = []
+    idx = 0
+    for r, z in profile:
+        if abs(r) < 1e-9:
+            verts.append(np.array([[0.0, 0.0, z]], np.float32))
+            ring_start.append(idx); ring_size.append(1); idx += 1
+        else:
+            ring = np.stack([r * ca, r * sa, np.full_like(ca, z)], -1)
+            verts.append(ring.astype(np.float32))
+            ring_start.append(idx); ring_size.append(segments); idx += segments
+    v = np.concatenate(verts) + np.asarray(center, np.float32)
+    faces: list[list[int]] = []
+    for k in range(K):
+        k2 = (k + 1) % K
+        a0, asz = ring_start[k], ring_size[k]
+        b0, bsz = ring_start[k2], ring_size[k2]
+        if asz == 1 and bsz == 1:
+            continue  # degenerate segment on the axis
+        for i in range(segments):
+            j = (i + 1) % segments
+            # winding chosen so the right-hand normal points outward for a
+            # profile walked with "outside on the right" (signed-volume
+            # verified in test_meshio)
+            if asz == 1:       # apex -> ring fan
+                faces.append([a0, b0 + j, b0 + i])
+            elif bsz == 1:     # ring -> apex fan
+                faces.append([a0 + i, a0 + j, b0])
+            else:              # quad between consecutive rings
+                faces += [[a0 + i, a0 + j, b0 + i], [a0 + j, b0 + j, b0 + i]]
+    return Mesh(v.astype(np.float32), np.asarray(faces, np.int32))
+
+
+def make_lbracket(w=0.08, h=0.08, t=0.025, depth=0.05) -> Mesh:
+    """L-shaped bracket (extruded L polygon) — simplest concave test object:
+    from most views one leg occludes part of the other."""
+    # CCW L polygon with an extra boundary vertex at (0,t) so the cap
+    # decomposes into two exact rectangles
+    poly = np.array(
+        [[0, 0], [w, 0], [w, t], [t, t], [t, h], [0, h], [0, t]], np.float32
+    )
+    # include edge (2,3) and share (3,6) so there is no T-junction at v3
+    cap = np.array(
+        [[0, 1, 2], [0, 2, 3], [0, 3, 6], [6, 3, 4], [6, 4, 5]], np.int32
+    )
+    m = extrude_polygon(poly, cap, depth)
+    return Mesh(m.vertices - m.centroid().astype(np.float32), m.faces)
+
+
+def make_tee(w=0.09, h=0.08, t=0.03, depth=0.05) -> Mesh:
+    """T-shaped extrusion (concave on both sides of the stem)."""
+    x0 = (w - t) / 2
+    x1 = (w + t) / 2
+    poly = np.array(
+        [[x0, 0], [x1, 0], [x1, h - t], [w, h - t], [w, h], [0, h],
+         [0, h - t], [x0, h - t]],
+        np.float32,
+    )
+    cap = np.array(
+        [[0, 1, 2], [0, 2, 7], [7, 2, 3], [7, 3, 4], [7, 4, 5], [7, 5, 6]],
+        np.int32,
+    )
+    m = extrude_polygon(poly, cap, depth)
+    return Mesh(m.vertices - m.centroid().astype(np.float32), m.faces)
+
+
+def make_mug(
+    radius=0.035, height=0.09, wall=0.005, segments=32, handle: bool = True
+) -> Mesh:
+    """Hollow mug (revolved cavity) with an optional square-C handle —
+    the hardest concavity class VERDICT r1 called for: interior surfaces
+    are visible only through the opening, so z-buffer visibility and
+    back-face culling genuinely disagree on many samples."""
+    r_in = radius - wall
+    profile = np.array(
+        [
+            [0.0, 0.0],              # bottom center (apex)
+            [radius, 0.0],           # bottom rim
+            [radius, height],        # outer wall up
+            [r_in, height],          # top rim inward
+            [r_in, wall],            # inner wall down (cavity)
+            [0.0, wall],             # inner bottom center (apex)
+        ],
+        np.float32,
+    )
+    m = revolve_profile(profile, segments)
+    if handle:
+        # square-C handle: three thin boxes on the +x side
+        th = 0.008
+        reach = 0.022
+        z0, z1 = 0.25 * height, 0.75 * height
+        top = make_box((reach + th, th, th),
+                       center=(radius + (reach + th) / 2, 0, z1))
+        bot = make_box((reach + th, th, th),
+                       center=(radius + (reach + th) / 2, 0, z0))
+        out = make_box((th, th, z1 - z0 + th),
+                       center=(radius + reach + th / 2, 0, (z0 + z1) / 2))
+        m = m.merged(top).merged(bot).merged(out)
+    c = m.centroid().astype(np.float32)
+    return Mesh(m.vertices - c, m.faces)
+
+
 def make_test_object(kind: str = "box") -> Mesh:
-    """Canonical synthetic grasp objects used by tests/benchmarks."""
+    """Canonical synthetic grasp objects used by tests/benchmarks.
+
+    box/cylinder/sphere/ellipsoid are convex; lbracket/tee/mug are the
+    concave validation set for the point-mode scorer (VERDICT r1 item 2).
+    """
     if kind == "box":
         return make_box((0.05, 0.05, 0.12))
     if kind == "cylinder":
@@ -322,4 +476,10 @@ def make_test_object(kind: str = "box") -> Mesh:
     if kind == "ellipsoid":
         m = make_icosphere(0.05, 3)
         return Mesh((m.vertices * np.array([0.6, 1.0, 1.4], np.float32)).astype(np.float32), m.faces)
+    if kind == "lbracket":
+        return make_lbracket()
+    if kind == "tee":
+        return make_tee()
+    if kind == "mug":
+        return make_mug()
     raise ValueError(kind)

@@ -84,3 +84,46 @@ def test_capsule_merged():
     assert m.num_faces > 50
     z = m.vertices[:, 2]
     assert z.min() < -0.005 and z.max() > 0.055
+
+
+def _signed_volume(m):
+    v, f = m.vertices.astype(np.float64), m.faces
+    a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    return np.einsum("ij,ij->", a, np.cross(b, c)) / 6.0
+
+
+def _half_edge_violations(m):
+    """Watertight + consistently wound: every directed edge appears exactly
+    once and its reverse exists."""
+    from collections import Counter
+
+    cnt = Counter()
+    for tri in m.faces:
+        for i in range(3):
+            cnt[(int(tri[i]), int(tri[(i + 1) % 3]))] += 1
+    return sum(
+        1 for (a, b), n in cnt.items() if n != 1 or cnt.get((b, a), 0) != 1
+    )
+
+
+def test_concave_primitives_watertight_outward():
+    """The concave validation set (VERDICT r1): watertight, consistent
+    winding, outward normals (positive signed volume, exact where known)."""
+    for kind, expect in [
+        ("lbracket", (0.08 * 0.025 + 0.055 * 0.025) * 0.05),
+        ("tee", (0.09 * 0.03 + 0.05 * 0.03) * 0.05),
+        ("mug", None),
+    ]:
+        m = meshio.make_test_object(kind)
+        assert _half_edge_violations(m) == 0, kind
+        vol = _signed_volume(m)
+        assert vol > 0, f"{kind}: inward normals (vol={vol:.2e})"
+        if expect is not None:
+            np.testing.assert_allclose(vol, expect, rtol=1e-5)
+
+
+def test_mug_is_hollow():
+    """The cavity must exist: mug volume well below the solid of revolution."""
+    hollow = _signed_volume(meshio.make_mug(handle=False))
+    solid = np.pi * 0.035**2 * 0.09
+    assert hollow < 0.5 * solid
