@@ -57,6 +57,7 @@ def score_particles(
     height: int, width: int,
     splat_radius: int,
     score_cfg: ScoreConfig,
+    subpixel: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Render-and-compare fitness for every particle. Returns
     (fitness [P], coverage [P]).
@@ -76,6 +77,7 @@ def score_particles(
             wrong_side_penalty=score_cfg.wrong_side_penalty,
             occlusion_margin=score_cfg.occlusion_margin,
             invalid_penalty=score_cfg.invalid_penalty,
+            subpixel=subpixel,
         )
     else:
         depths = render.splat_depth_batched(
@@ -161,6 +163,9 @@ def pso(
             observed_depth=d_hi, observed_valid=v_hi, hand_depth=h_hi,
             fx=fx_h, fy=fy_h, cx=cx_h, cy=cy_h, height=hh, width=wh,
             splat_radius=splat_radius, score_cfg=score_cfg,
+            # fine tier: sub-pixel (edge-aware bilinear) observed-depth
+            # gather removes the ~z/f-per-pixel quantization floor
+            subpixel=score_cfg.subpixel,
         )
     else:
         score_fn_hi = score_fn

@@ -97,6 +97,68 @@ def compare_depth(
     return ScoreTerms(fitness=fitness, coverage=coverage, support=support, counted=n_counted)
 
 
+def _bilinear_depth(
+    u: jax.Array,            # [...,N] continuous pixel x (pixel centers at ints)
+    v: jax.Array,            # [...,N]
+    inb: jax.Array,          # [...,N] projection in bounds (nearest-pixel)
+    observed: jax.Array,     # [H,W]
+    observed_valid: jax.Array,  # [H,W] bool
+    *,
+    height: int, width: int,
+    edge_tau: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Edge-aware bilinear sample of an observed depth map.
+
+    Returns (depth, valid). Neighbors are weighted by bilinear weights,
+    masked by validity AND by |d_k - d_nearest| < edge_tau so depth
+    discontinuities do not blend across an edge; when the nearest pixel
+    is invalid the sample is invalid (matching nearest-gather semantics).
+
+    Invalid pixels are encoded with a large FINITE sentinel (not inf):
+    two invalid corners would otherwise produce inf-inf = NaN in the
+    edge test — harmless (masked) but it trips jax_debug_nans, which CI
+    runs a frame under (SURVEY.md §6 sanitizers).
+    """
+    big = jnp.asarray(1e9, observed.dtype)
+    obs_enc = jnp.where(observed_valid, observed, big).reshape(-1)
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    au = u - u0
+    av = v - v0
+    u0i = u0.astype(jnp.int32)
+    v0i = v0.astype(jnp.int32)
+
+    d_corner, w_corner, m_corner = [], [], []
+    for dv in (0, 1):
+        for du in (0, 1):
+            uu = u0i + du
+            vv = v0i + dv
+            ok = inb & (uu >= 0) & (uu < width) & (vv >= 0) & (vv < height)
+            d = jnp.take(obs_enc, jnp.where(ok, vv * width + uu, 0))
+            w = (au if du else 1.0 - au) * (av if dv else 1.0 - av)
+            d_corner.append(d)
+            w_corner.append(w)
+            m_corner.append(ok & (d < 0.5 * big))
+    # nearest corner = the one the rounded gather would hit
+    near_u = au >= 0.5
+    near_v = av >= 0.5
+    sel = [(~near_u & ~near_v), (near_u & ~near_v),
+           (~near_u & near_v), (near_u & near_v)]
+    d_ref = sum(jnp.where(s, d, 0.0) for s, d in zip(sel, d_corner))
+    ref_ok = sum(jnp.where(s, m.astype(u.dtype), 0.0)
+                 for s, m in zip(sel, m_corner)) > 0.5
+
+    num = jnp.zeros_like(u)
+    den = jnp.zeros_like(u)
+    for d, w, m in zip(d_corner, w_corner, m_corner):
+        wk = w * m * (jnp.abs(d - d_ref) < edge_tau)
+        num = num + wk * jnp.where(m, d, 0.0)
+        den = den + wk
+    valid = ref_ok & (den > 1e-6)
+    depth = jnp.where(valid, num / jnp.maximum(den, 1e-6), 0.0)
+    return depth, valid
+
+
 def compare_points(
     pts_cam: jax.Array,      # [...,N,3] posed model surface samples
     normals_cam: jax.Array,  # [...,N,3] posed outward model normals
@@ -110,6 +172,7 @@ def compare_points(
     wrong_side_penalty: float = 2.0,
     occlusion_margin: float = 0.005,
     invalid_penalty: float = 0.3,
+    subpixel: bool = False,
 ) -> ScoreTerms:
     """Point-wise render-and-compare: projective association instead of a
     per-particle z-buffer.
@@ -122,23 +185,43 @@ def compare_points(
     classified exactly like a rendered pixel would be. Self-occlusion
     (the z-buffer's job) is approximated by back-face culling: samples
     whose outward normal faces away from the camera are excluded — the
-    first-order visibility model. Same fitness semantics, per point
-    instead of per pixel; coverage = matched fraction of the
+    first-order visibility model (validated against the exact z-buffer
+    on concave meshes in test_score_concave.py). Same fitness semantics,
+    per point instead of per pixel; coverage = matched fraction of the
     front-facing samples.
+
+    subpixel=True replaces the nearest-pixel depth gather with an
+    EDGE-AWARE BILINEAR one (4 gathers instead of 1): nearest-pixel
+    rounding quantizes the observed surface at ~(z/f) meters per pixel —
+    0.9 mm at f=570 px, z=0.5 m — exactly the accuracy floor VERDICT r1
+    measured. Bilinear interpolation is only taken over neighbors whose
+    depth lies within `3*depth_tau` of the nearest pixel's depth, so
+    silhouette/occlusion discontinuities fall back to nearest instead of
+    smearing foreground into background. Used at the fine scoring tier
+    (polish + finisher, ops/pso.py); the in-scan coarse tier keeps the
+    single gather.
     """
     x, y, z = pts_cam[..., 0], pts_cam[..., 1], pts_cam[..., 2]
     in_front = z > 1e-6
     zs = jnp.where(in_front, z, 1.0)
-    ui = jnp.round(x / zs * fx + cx).astype(jnp.int32)
-    vi = jnp.round(y / zs * fy + cy).astype(jnp.int32)
+    u = x / zs * fx + cx
+    v = y / zs * fy + cy
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
     inb = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
     # back-face cull: outward normal must face the camera (n . p < 0)
     facing = jnp.sum(normals_cam * pts_cam, axis=-1) < 0.0
     vis = inb & facing
 
     flat = jnp.where(inb, vi * width + ui, 0)
-    d_obs = jnp.take(observed.reshape(-1), flat)
-    v_obs = jnp.take(observed_valid.reshape(-1), flat) & inb
+    if subpixel:
+        d_obs, v_obs = _bilinear_depth(
+            u, v, inb, observed, observed_valid,
+            height=height, width=width, edge_tau=3.0 * depth_tau,
+        )
+    else:
+        d_obs = jnp.take(observed.reshape(-1), flat)
+        v_obs = jnp.take(observed_valid.reshape(-1), flat) & inb
     if hand_depth is not None:
         d_hand = jnp.take(hand_depth.reshape(-1), flat)
         vis = vis & ~(d_hand < z - occlusion_margin)

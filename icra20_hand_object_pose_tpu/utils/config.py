@@ -93,6 +93,9 @@ class ScoreConfig:
                                         # (no per-particle z-buffer, the
                                         # fast path); "pixel": splat render
                                         # + per-pixel compare
+    subpixel: bool = True               # fine scoring tier: edge-aware
+                                        # bilinear observed-depth gather
+                                        # (sub-pixel accuracy; point mode)
 
 
 @dataclass(frozen=True)

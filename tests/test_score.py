@@ -75,3 +75,83 @@ def test_batched_particle_axis():
     t = score.compare_depth(batch, obs, valid)
     assert t.fitness.shape == (2,)
     assert float(t.fitness[0]) > float(t.fitness[1])
+
+
+# -- subpixel (edge-aware bilinear) observed-depth gather --------------------
+
+def _plane_points(us, vs, depth_fn, fx=100.0, fy=100.0, cx=32.0, cy=24.0):
+    """Camera-frame points projecting exactly to pixel coords (us, vs) with
+    z on the observed surface; normals face the camera."""
+    us = np.asarray(us, np.float32)
+    vs = np.asarray(vs, np.float32)
+    z = depth_fn(us, vs).astype(np.float32)
+    x = (us - cx) / fx * z
+    y = (vs - cy) / fy * z
+    pts = np.stack([x, y, z], -1)
+    nrm = np.tile(np.array([0.0, 0.0, -1.0], np.float32), (len(us), 1))
+    return jnp.asarray(pts), jnp.asarray(nrm)
+
+
+def _compare(pts, nrm, obs, valid, subpixel, tau=0.01):
+    return score.compare_points(
+        pts, nrm, jnp.asarray(obs), jnp.asarray(valid), None,
+        fx=100.0, fy=100.0, cx=32.0, cy=24.0, height=48, width=64,
+        depth_tau=tau, subpixel=subpixel,
+    )
+
+
+def test_subpixel_removes_quantization_error():
+    """Slanted surface, samples at half-pixel offsets: nearest-gather sees
+    slope/2 error per sample, bilinear reconstructs exactly (VERDICT r1:
+    the ~z/f-per-pixel rounding was the measured accuracy floor)."""
+    gu = 0.008  # 8mm of depth per pixel of slope
+    uu, vv = np.meshgrid(np.arange(64, dtype=np.float32),
+                         np.arange(48, dtype=np.float32))
+    obs = (0.4 + gu * uu).astype(np.float32)
+    valid = np.ones_like(obs, bool)
+    depth_fn = lambda u, v: 0.4 + gu * u
+    us = np.arange(10, 50, dtype=np.float32) + 0.5   # between pixel centers
+    vs = np.full_like(us, 20.0)
+    pts, nrm = _plane_points(us, vs, depth_fn)
+    t_near = _compare(pts, nrm, obs, valid, subpixel=False)
+    t_sub = _compare(pts, nrm, obs, valid, subpixel=True)
+    n = len(us)
+    assert float(t_sub.support) > 0.995 * n
+    # nearest: |diff| = gu/2 = 4mm -> support 0.6/sample
+    assert float(t_near.support) < 0.65 * n
+
+
+def test_subpixel_does_not_blend_across_edges():
+    """Depth discontinuity: naive bilinear would mix foreground with the
+    surface behind it; the edge-aware window must fall back to the
+    nearest pixel's depth."""
+    obs = np.full((48, 64), 0.5, np.float32)
+    obs[:, 32:] = 1.0                      # step edge at u=31.5
+    valid = np.ones_like(obs, bool)
+    us = np.array([31.3], np.float32)      # foreground side, near the edge
+    vs = np.array([20.0], np.float32)
+    pts, nrm = _plane_points(us, vs, lambda u, v: np.full_like(u, 0.5))
+    t = _compare(pts, nrm, obs, valid, subpixel=True)
+    assert float(t.support) > 0.999        # exact match, no smearing
+
+
+def test_subpixel_invalid_neighbor_excluded():
+    """An invalid neighbor pixel must not poison the interpolation; a
+    sample whose NEAREST pixel is invalid must be invalid (ghost)."""
+    obs = np.full((48, 64), 0.5, np.float32)
+    valid = np.ones_like(obs, bool)
+    valid[20, 33] = False
+    # nearest = (32,20) valid, right neighbor invalid -> still matches
+    pts, nrm = _plane_points(
+        np.array([32.4], np.float32), np.array([20.0], np.float32),
+        lambda u, v: np.full_like(u, 0.5),
+    )
+    t = _compare(pts, nrm, obs, valid, subpixel=True)
+    assert float(t.support) > 0.999
+    # nearest = (33,20) invalid -> ghost regardless of valid neighbors
+    pts2, nrm2 = _plane_points(
+        np.array([32.6], np.float32), np.array([20.0], np.float32),
+        lambda u, v: np.full_like(u, 0.5),
+    )
+    t2 = _compare(pts2, nrm2, obs, valid, subpixel=True)
+    assert float(t2.counted) == 1.0 and float(t2.support) == 0.0
