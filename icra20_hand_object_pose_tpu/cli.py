@@ -94,6 +94,7 @@ def _track_frames(est, frames, out_dir, log_every=1, overlays=False):
                     hand=est.hand,
                     hand_base=np.asarray(fr.hand_base) if fr.hand_base is not None else None,
                     hand_q=np.asarray(fr.hand_q) if fr.hand_q is not None else None,
+                    rgb=getattr(fr, "rgb", None),
                 )
             if log_every and i % log_every == 0:
                 extra = (
@@ -173,23 +174,22 @@ def cmd_eval(args):
     from .datasets.sequence import RecordedSequence
     from .evaluation import evaluate_trajectory
     from .models import ObjectModel
+    from .parity import compare_pose_sequences, load_pose_dump
 
     if not os.path.exists(args.poses):
         print(f"error: --poses path not found: {args.poses}", file=sys.stderr)
         return 2
     seq = RecordedSequence(args.data)
     obj = ObjectModel.load(args.object)
-    est_poses = []
-    if args.poses.endswith(".jsonl"):
-        with open(args.poses) as f:
-            for line in f:
-                est_poses.append(np.asarray(json.loads(line)["pose"]))
-    else:
-        names = sorted(os.listdir(args.poses))
-        est_poses = [
-            np.loadtxt(os.path.join(args.poses, n)).reshape(4, 4)
-            for n in names if n.endswith(".txt")
-        ]
+    est_poses = load_pose_dump(args.poses)
+    if getattr(args, "ref_poses", None):
+        # parity vs a reference implementation's pose dump (BASELINE
+        # "identical poses" target; harness in parity.py)
+        rep = compare_pose_sequences(
+            est_poses, load_pose_dump(args.ref_poses),
+            np.asarray(obj.model_pts),
+        )
+        print(rep)
     gt = [seq[i].pose_gt for i in range(len(seq))]
     if any(g is None for g in gt):
         print("sequence has no ground truth", file=sys.stderr)
@@ -244,6 +244,9 @@ def main(argv=None):
                    help="metrics.jsonl or a directory of 4x4 .txt files")
     p.add_argument("--data", required=True)
     p.add_argument("--object", required=True)
+    p.add_argument("--ref-poses", default=None,
+                   help="reference pose dump (dir/.jsonl/.txt/.npy) for a "
+                        "parity report vs another implementation")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("bench", help="run the headline benchmark")

@@ -8,6 +8,7 @@ poses, read by the main.cpp driver with OpenCV). Directory layout:
       cam_K.txt            # 3x3 intrinsics, row-major
       meta.json            # optional: {"depth_scale": 1e-3, "width":, "height":}
       depth/000000.png     # 16-bit grayscale, depth_scale units -> meters
+      rgb/000000.png       # optional 8-bit color stream (visualization)
       pose_gt/000000.txt   # optional 4x4 object model->camera (evaluation)
       hand_base/000000.txt # optional 4x4 hand base->camera
       hand_q/000000.txt    # optional joint angles (one row)
@@ -42,6 +43,7 @@ class RecordedFrame:
     hand_base: np.ndarray | None   # [4,4] or None
     hand_q: np.ndarray | None      # [J] or None
     index: int
+    rgb: np.ndarray | None = None  # [H,W,3] uint8 or None
 
 
 class RecordedSequence:
@@ -113,7 +115,12 @@ class RecordedSequence:
             hand_q=np.loadtxt(hq, dtype=np.float64).reshape(-1).astype(np.float32)
             if hq else None,
             index=idx,
+            rgb=self._load_rgb(idx),
         )
+
+    def _load_rgb(self, idx: int) -> np.ndarray | None:
+        p = self._side_file("rgb", idx, ext=".png")
+        return pngio.read_png_rgb(p) if p else None
 
     def __iter__(self) -> Iterator[RecordedFrame]:
         if self._native is not None:
@@ -135,6 +142,7 @@ class RecordedSequence:
             _read_matrix(hb, (4, 4)) if hb else None,
             np.loadtxt(hq, dtype=np.float64).reshape(-1).astype(np.float32)
             if hq else None,
+            self._load_rgb(idx),
         )
 
 
@@ -147,7 +155,10 @@ def save_sequence(
     gives tests and demos a real on-disk dataset exercising the full IO
     path, and a template for converting the reference's released data."""
     os.makedirs(root, exist_ok=True)
-    for sub in ("depth", "pose_gt", "hand_base", "hand_q"):
+    subs = ["depth", "pose_gt", "hand_base", "hand_q"]
+    if any(getattr(f, "rgb", None) is not None for f in frames):
+        subs.append("rgb")
+    for sub in subs:
         os.makedirs(os.path.join(root, sub), exist_ok=True)
     np.savetxt(os.path.join(root, "cam_K.txt"), camera.K, fmt="%.9g")
     with open(os.path.join(root, "meta.json"), "w") as f:
@@ -160,6 +171,8 @@ def save_sequence(
         raw = np.round(fr.depth / camera.depth_scale)
         raw = np.clip(raw, 0, 65535).astype(np.uint16)
         pngio.write_png16(os.path.join(root, "depth", name + ".png"), raw)
+        if getattr(fr, "rgb", None) is not None:
+            pngio.write_png_rgb(os.path.join(root, "rgb", name + ".png"), fr.rgb)
         np.savetxt(os.path.join(root, "pose_gt", name + ".txt"),
                    fr.pose_gt, fmt="%.9g")
         np.savetxt(os.path.join(root, "hand_base", name + ".txt"),

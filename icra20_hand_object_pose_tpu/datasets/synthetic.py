@@ -31,6 +31,32 @@ class SyntheticFrame(NamedTuple):
     pose_gt: np.ndarray      # [4,4] object model->camera
     hand_base: np.ndarray    # [4,4] hand base->camera
     hand_q: np.ndarray       # [J] nominal joint angles
+    rgb: np.ndarray | None = None  # [H,W,3] uint8 shaded color stream
+
+
+def shade_depth_rgb(depth: np.ndarray) -> np.ndarray:
+    """Synthetic color stream: Lambertian shading of the depth surface.
+
+    The released reference dataset is RGB-D; synthetic sequences carry an
+    equivalent color channel so the RGB IO/visualization path is
+    exercised end to end (VERDICT r1 item 7). Host-side numpy.
+    """
+    d = np.asarray(depth, np.float32)
+    valid = d > 0
+    dz = np.where(valid, d, np.nan)
+    gy, gx = np.gradient(dz)
+    gx = np.nan_to_num(gx)
+    gy = np.nan_to_num(gy)
+    # surface normal ∝ (-gx, -gy, px_scale); fixed scale ≈ depth/f per px
+    nz = np.full_like(d, 2e-3)
+    norm = np.sqrt(gx * gx + gy * gy + nz * nz)
+    light = np.asarray([0.3, -0.5, 0.81], np.float32)
+    lam = (-gx * light[0] - gy * light[1] + nz * light[2]) / np.maximum(norm, 1e-12)
+    shade = np.clip(0.25 + 0.75 * np.clip(lam, 0.0, 1.0), 0.0, 1.0)
+    base = np.asarray([180, 170, 150], np.float32)  # warm gray material
+    img = shade[..., None] * base[None, None]
+    img = np.where(valid[..., None], img, 12.0)
+    return np.clip(img, 0, 255).astype(np.uint8)
 
 
 @dataclass
@@ -175,7 +201,8 @@ def generate_sequence(
         )
         frames.append(
             SyntheticFrame(
-                depth=depth, pose_gt=pose.copy(), hand_base=hb, hand_q=q_nom
+                depth=depth, pose_gt=pose.copy(), hand_base=hb, hand_q=q_nom,
+                rgb=shade_depth_rgb(depth),
             )
         )
         # rigid motion about the object's own center

@@ -165,10 +165,11 @@ def prefetch_frames(depth_files: list[str], load_side, depth_scale: float):
     loader = PrefetchLoader(depth_files)
     try:
         for i, raw in enumerate(loader):
-            pose_gt, hand_base, hand_q = load_side(i)
+            pose_gt, hand_base, hand_q, rgb = load_side(i)
             yield RecordedFrame(
                 depth=raw.astype(np.float32) * depth_scale,
                 pose_gt=pose_gt, hand_base=hand_base, hand_q=hand_q, index=i,
+                rgb=rgb,
             )
     finally:
         loader.close()

@@ -105,8 +105,8 @@ def _unfilter(data: bytes, h: int, w: int, bpp: int) -> np.ndarray:
     return out
 
 
-def read_png_gray(path: str) -> np.ndarray:
-    """PNG -> uint8 or uint16 [H,W] (grayscale only, no interlace)."""
+def _read_chunks(path: str) -> tuple[tuple, bytes]:
+    """-> (IHDR fields, decompressed scanline stream)."""
     with open(path, "rb") as f:
         blob = f.read()
     if blob[:8] != _SIG:
@@ -127,16 +127,43 @@ def read_png_gray(path: str) -> np.ndarray:
             break
     if ihdr is None:
         raise ValueError(f"{path}: missing IHDR")
-    w, h, depth, color, comp, filt, interlace = ihdr
+    if ihdr[6] != 0:
+        raise ValueError(f"{path}: interlaced PNG unsupported")
+    return ihdr, zlib.decompress(b"".join(idat))
+
+
+# channels per pixel by PNG color type
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def read_png_gray(path: str) -> np.ndarray:
+    """PNG -> uint8 or uint16 [H,W] (grayscale only, no interlace)."""
+    (w, h, depth, color, comp, filt, interlace), raw = _read_chunks(path)
     if color != 0:
         raise ValueError(f"{path}: color type {color} unsupported (gray only)")
-    if interlace != 0:
-        raise ValueError(f"{path}: interlaced PNG unsupported")
     if depth not in (8, 16):
         raise ValueError(f"{path}: bit depth {depth} unsupported")
-    raw = zlib.decompress(b"".join(idat))
     bpp = depth // 8
     bytes_img = _unfilter(raw, h, w, bpp)
     if depth == 8:
         return bytes_img.reshape(h, w)
     return bytes_img.reshape(h, w * 2).view(">u2").astype(np.uint16).reshape(h, w)
+
+
+def read_png_rgb(path: str) -> np.ndarray:
+    """PNG -> uint8 [H,W,3]. Accepts 8-bit RGB / RGBA (alpha dropped) /
+    grayscale (replicated) — the color-stream formats an RGB-D recording
+    plausibly uses (SURVEY.md §3 "Dataset I/O": the released sequences
+    are RGB-D; VERDICT r1 item 7)."""
+    (w, h, depth, color, comp, filt, interlace), raw = _read_chunks(path)
+    if depth != 8:
+        raise ValueError(f"{path}: {depth}-bit color unsupported (8 only)")
+    if color not in _CHANNELS:
+        raise ValueError(f"{path}: color type {color} unsupported")
+    ch = _CHANNELS[color]
+    img = _unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if color == 0:
+        return np.repeat(img, 3, axis=-1)
+    if color == 4:  # gray+alpha
+        return np.repeat(img[..., :1], 3, axis=-1)
+    return np.ascontiguousarray(img[..., :3])

@@ -43,12 +43,17 @@ def render_overlay(
     hand_base: np.ndarray | None = None,
     hand_q: np.ndarray | None = None,
     *,
+    rgb: np.ndarray | None = None,  # [H,W,3] uint8 color stream background
     depth_tau: float = 0.01,
 ) -> np.ndarray:
-    """-> uint8 [H,W,3] overlay image."""
+    """-> uint8 [H,W,3] overlay image. When the sequence has an RGB
+    stream it becomes the background; otherwise depth is grayscaled."""
     H, W = cam.height, cam.width
-    gray = depth_to_gray(depth)
-    img = np.stack([gray, gray, gray], axis=-1).astype(np.float32)
+    if rgb is not None:
+        img = np.asarray(rgb, np.float32).copy()
+    else:
+        gray = depth_to_gray(depth)
+        img = np.stack([gray, gray, gray], axis=-1).astype(np.float32)
 
     # object hypothesis depth via point splat
     pts = np.asarray(obj.render_pts) @ np.asarray(pose)[:3, :3].T + pose[:3, 3]

@@ -110,3 +110,69 @@ def test_native_prefetch_many(tmp_path):
     assert len(got) == 20
     for a, b in zip(got, imgs):
         np.testing.assert_array_equal(a, b)
+
+
+def test_png_rgb_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, size=(21, 33, 3), dtype=np.uint8)
+    p = str(tmp_path / "c.png")
+    pngio.write_png_rgb(p, img)
+    back = pngio.read_png_rgb(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_rgb_stream_loaded(seq_dir):
+    """Synthetic sequences carry a shaded RGB stream; save/load must
+    round-trip it (VERDICT r1 item 7)."""
+    root, cam, frames = seq_dir
+    assert frames[0].rgb is not None and frames[0].rgb.shape == (48, 64, 3)
+    seq = RecordedSequence(root, use_native=False)
+    fr = seq[0]
+    np.testing.assert_array_equal(fr.rgb, frames[0].rgb)
+
+
+def test_rgb_absent_is_none(tmp_path):
+    cam = CameraIntrinsics(width=32, height=24, fx=30.0, fy=30.0,
+                           cx=16.0, cy=12.0)
+    mesh = meshio.make_test_object("box")
+    frames = generate_sequence(
+        mesh, None, SyntheticSequenceConfig(n_frames=1, camera=cam)
+    )
+    frames = [f._replace(rgb=None) for f in frames]
+    root = str(tmp_path / "norgb")
+    save_sequence(frames, cam, root)
+    seq = RecordedSequence(root, use_native=False)
+    assert seq[0].rgb is None
+
+
+def test_convert_reference_dataset(tmp_path, seq_dir):
+    """Released-layout tree -> our layout -> RecordedSequence loads it."""
+    import sys
+    sys.path.insert(0, "scripts")
+    try:
+        from convert_reference_dataset import convert
+    finally:
+        sys.path.pop(0)
+    root, cam, frames = seq_dir
+    # build a fake released tree: different dir names + numbering
+    src = tmp_path / "released"
+    (src / "depth").mkdir(parents=True)
+    (src / "rgb").mkdir()
+    (src / "annotated_poses").mkdir()
+    import shutil
+    for i in range(3):
+        shutil.copyfile(f"{root}/depth/{i:06d}.png", src / "depth" / f"{i+7}.png")
+        shutil.copyfile(f"{root}/rgb/{i:06d}.png", src / "rgb" / f"{i+7}.png")
+        shutil.copyfile(f"{root}/pose_gt/{i:06d}.txt",
+                        src / "annotated_poses" / f"{i+7}.txt")
+    shutil.copyfile(f"{root}/cam_K.txt", src / "cam_K.txt")
+    dst = str(tmp_path / "converted")
+    n = convert(str(src), dst)
+    assert n == 3
+    seq = RecordedSequence(dst, use_native=False)
+    assert len(seq) == 3
+    fr = seq[1]
+    orig = RecordedSequence(root, use_native=False)[1]
+    np.testing.assert_allclose(fr.depth, orig.depth, atol=1e-6)
+    np.testing.assert_array_equal(fr.rgb, orig.rgb)
+    np.testing.assert_allclose(fr.pose_gt, orig.pose_gt, atol=1e-6)
