@@ -76,6 +76,83 @@ def bench_sweep(n_objects: int = 8) -> None:
     }))
 
 
+def bench_init(
+    n_trials: int = 50, seed: int = 0,
+    *,
+    width: int = 640, height: int = 480, fov_f: float = 570.0,
+    particles: int = 512, scene_points: int = 2048,
+) -> None:
+    """Global-initialization success rate (VERDICT r1 item 6; BASELINE
+    configs 3-4 territory): N random-orientation grasp frames at VGA,
+    recovery from NO prior (mode='init' with the configured
+    reinit_particles), success = dense-cloud ADD-S < 10%% of the object
+    diameter (the standard ADD-S success criterion). Run via
+    `python bench.py --init`; prints one JSON line."""
+    import jax
+    import jax.numpy as jnp
+    from .datasets import hand_base_for_grasp, render_frame_fast
+    from .evaluation import add_s_error
+    from .models import Estimator, ObjectModel, make_t42_hand
+    from .utils import meshio, se3
+    from .utils.config import (
+        CameraIntrinsics, EstimatorConfig, PsoConfig,
+    )
+
+    cam = CameraIntrinsics(width=width, height=height, fx=fov_f, fy=fov_f,
+                           cx=width / 2, cy=height / 2)
+    from .utils.config import TrackerConfig
+
+    cfg = EstimatorConfig(
+        camera=cam, scene_points=scene_points,
+        pso=PsoConfig(particles=particles, iters=10),
+        # recovery runs the broad search at 2x the tracking swarm
+        tracker=TrackerConfig(reinit_particles=2 * particles),
+    )
+    mesh = meshio.make_test_object("ellipsoid")  # unambiguous from depth
+    hand = make_t42_hand()
+    obj = ObjectModel(mesh, model_points=1024, render_points=2048)
+    est = Estimator(obj, hand, cfg)
+    dense, _ = mesh.sample_surface(8192, seed=123)
+
+    rng = np.random.default_rng(seed)
+    keys = jax.random.split(jax.random.key(seed), n_trials)
+    n_success = 0
+    errs = []
+    t0 = time.perf_counter()
+    for t in range(n_trials):
+        R = np.asarray(se3.random_rotation(jax.random.fold_in(keys[t], 1)))
+        pose_gt = np.eye(4, dtype=np.float32)
+        pose_gt[:3, :3] = R
+        pose_gt[:3, 3] = [
+            rng.uniform(-0.08, 0.08), rng.uniform(-0.06, 0.06),
+            rng.uniform(0.40, 0.65),
+        ]
+        hb = hand_base_for_grasp(pose_gt)
+        hq = np.asarray([0.45, 0.45], np.float32)
+        depth = render_frame_fast(
+            mesh, pose_gt, hand, hb, hq, cam, noise_sigma=0.001,
+            rng=np.random.default_rng(seed * 1000 + t),
+        )
+        out = est.estimate(
+            jnp.asarray(depth), jnp.eye(4), jnp.asarray(hb), jnp.asarray(hq),
+            key=keys[t], mode="init",
+        )
+        e = add_s_error(np.asarray(out.pose), pose_gt, dense)
+        errs.append(e)
+        n_success += e < 0.1 * obj.diameter
+    dt = time.perf_counter() - t0
+    rate = n_success / n_trials
+    ok = np.asarray(errs)[np.asarray(errs) < 0.1 * obj.diameter]
+    print(json.dumps({
+        "metric": f"global_init_success_rate_{n_trials}trials_vga",
+        "value": round(rate, 3),
+        "unit": "fraction",
+        "vs_baseline": round(rate / 0.9, 3),  # target >=90% (VERDICT r1)
+        "adds_mm_median_success": round(float(np.median(ok)) * 1000, 2) if len(ok) else None,
+        "s_per_trial": round(dt / n_trials, 2),
+    }))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -115,11 +192,28 @@ def main() -> None:
     hb = jnp.asarray(hand_base)
     hq = jnp.asarray(hand_q)
 
-    def run(seed):
-        return est.estimate(depth, prev, hb, hq, key=jax.random.key(seed),
-                            mode="track")
+    # AOT-compile the exact frame program once: the same executable serves
+    # XLA cost analysis (FLOPs / bytes for the roofline) and the timing
+    # loop — no second trace, no double tunnel compile.
+    dyn, static = est.frame_args(
+        depth, prev, hb, hq, key=jax.random.key(0), mode="track"
+    )
+    compiled = est._step_jit.lower(*dyn, **static).compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        cost = dict(cost)
+    except Exception:
+        cost = {}
 
-    out = run(0)  # compile
+    def run(seed):
+        d, _ = est.frame_args(
+            depth, prev, hb, hq, key=jax.random.key(seed), mode="track"
+        )
+        return compiled(*d)
+
+    out = run(0)  # warm-up
     _ = np.asarray(out.pose)  # host fetch: tunnels ignore block_until_ready
     n_rep = 8
     t0 = time.perf_counter()
@@ -131,12 +225,43 @@ def main() -> None:
     hyps_per_frame = cfg.pso.particles * pso_iters
     value = hyps_per_frame / dt
     baseline_target = 1000.0  # BASELINE.json: >=1000 hyp/sec/chip target
-    print(json.dumps({
+    rec = {
         "metric": "icp_refined_pose_hypotheses_per_sec_per_chip_512p",
         "value": round(value, 1),
         "unit": "hypotheses/sec/chip",
         "vs_baseline": round(value / baseline_target, 3),
-    }))
+        "ms_per_frame": round(dt * 1000.0, 2),
+    }
+    # Roofline vs chip peaks (VERDICT r1: relate throughput to hardware).
+    flops = float(cost.get("flops", 0.0))
+    bytes_acc = float(cost.get("bytes accessed", 0.0))
+    if flops > 0:
+        peak_flops, peak_bw = _chip_peaks()
+        rec["tflops_achieved"] = round(flops / dt / 1e12, 3)
+        rec["mfu"] = round(flops / dt / peak_flops, 4)
+        rec["hbm_gbps"] = round(bytes_acc / dt / 1e9, 1)
+        rec["hbm_util"] = round(bytes_acc / dt / peak_bw, 4)
+    print(json.dumps(rec))
+
+
+def _chip_peaks() -> tuple[float, float]:
+    """(peak FLOP/s, peak HBM bytes/s) for the local accelerator.
+
+    bf16 MXU peak is the denominator (DEFAULT-precision matmuls run
+    bf16); known TPU generations hardcoded, CPU fallback keeps the
+    fields meaningful off-TPU (they are only *claimed* on TPU runs)."""
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12, 819e9
+    if "v5p" in kind or "v5" in kind:
+        return 459e12, 2765e9
+    if "v4" in kind:
+        return 275e12, 1228e9
+    if "v6" in kind or "trillium" in kind:
+        return 918e12, 1640e9
+    return 1e12, 100e9  # generic CPU-ish placeholder
 
 
 def cli(argv=None) -> None:
@@ -145,6 +270,8 @@ def cli(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     if "--sweep" in argv:
         bench_sweep()
+    elif "--init" in argv:
+        bench_init()
     else:
         main()
 

@@ -259,7 +259,7 @@ class Estimator:
 
     # -- public API ----------------------------------------------------------
 
-    def estimate(
+    def frame_args(
         self,
         depth_m: jax.Array,
         prev_pose: jax.Array,
@@ -268,10 +268,12 @@ class Estimator:
         key: jax.Array | None = None,
         *,
         mode: str = "track",
-    ) -> FrameResult:
-        """One frame -> SE(3). mode='track' perturbs prev_pose; mode='init'
-        runs the broad global search (first frame / tracking-loss recovery,
-        SURVEY.md §4.3)."""
+    ) -> tuple[tuple, dict]:
+        """Validated (dynamic_args, static_kwargs) for the frame program —
+        exactly what `estimate` passes to the jit. Exposed so benchmarks
+        and profiling can AOT-lower the SAME program
+        (`est._step_jit.lower(*dyn, **static)`) for XLA cost analysis
+        without a second trace path."""
         cfg = self.cfg
         if key is None:
             key = jax.random.key(0)
@@ -313,7 +315,7 @@ class Estimator:
             )
         else:
             raise ValueError(f"unknown mode {mode!r}")
-        return self._step_jit(
+        dyn = (
             key, depth_m, prev_pose, hand_base, hand_q,
             (self.obj.model_pts, self.obj.model_normals,
              self.obj.render_pts, self.obj.render_normals, self.obj.render_w),
@@ -321,9 +323,29 @@ class Estimator:
             jnp.asarray(args["trans_sigma"], jnp.float32),
             jnp.asarray(args["uniform_rot"]),
             jnp.asarray(args["roi_radius"], jnp.float32),
-            n_particles=args["n_particles"],
-            pso_iters=args["pso_iters"],
         )
+        static = dict(
+            n_particles=args["n_particles"], pso_iters=args["pso_iters"]
+        )
+        return dyn, static
+
+    def estimate(
+        self,
+        depth_m: jax.Array,
+        prev_pose: jax.Array,
+        hand_base: jax.Array | None = None,
+        hand_q: jax.Array | None = None,
+        key: jax.Array | None = None,
+        *,
+        mode: str = "track",
+    ) -> FrameResult:
+        """One frame -> SE(3). mode='track' perturbs prev_pose; mode='init'
+        runs the broad global search (first frame / tracking-loss recovery,
+        SURVEY.md §4.3)."""
+        dyn, static = self.frame_args(
+            depth_m, prev_pose, hand_base, hand_q, key, mode=mode
+        )
+        return self._step_jit(*dyn, **static)
 
 
 class TrackerState(NamedTuple):
@@ -368,6 +390,14 @@ class Tracker:
     ) -> TrackResult:
         st = self.state
         key, sub = jax.random.split(st.key)
+        # NOTE: float(st.fitness) forces one host round-trip per frame. It
+        # is unavoidable here because the watchdog decision switches
+        # between two DIFFERENT compiled programs (track vs init differ in
+        # n_particles/pso_iters, which are static shapes) — a device-side
+        # lax.cond cannot change program shape. Cost is ~us against a
+        # ~100ms frame; if frame pipelining ever matters, follow
+        # LibrarySweep (parallel/sharding.py), which keeps equal shapes for
+        # both modes and decides on-device.
         need_init = (not bool(st.initialized)) or (
             float(st.fitness) < self.est.cfg.tracker.fitness_reinit_threshold
             and bool(st.initialized)
