@@ -41,9 +41,12 @@ def splat_depth(
 ) -> jax.Array:
     """Point-splat depth image [H,W]; +inf where nothing rendered.
 
-    Each point writes min-depth into a (2r+1)^2 pixel footprint. The
-    footprint loop is a static python loop (<=9 scatters) that XLA fuses;
-    the scatters batch cleanly under vmap over a particle axis.
+    Each point covers a (2r+1)^2 pixel footprint with min-depth. Realized
+    as ONE radius-0 scatter into an r-padded grid followed by a (2r+1)^2
+    min-pool (grayscale erosion) — bitwise-identical to scattering every
+    footprint pixel (min commutes), but with 1 scatter instead of
+    (2r+1)^2: scatter is the slowest XLA op on TPU (measured r1), pooling
+    lowers to cheap reduce_window. Batches cleanly under vmap.
     """
     z = points_cam[:, 2]
     valid = (z > 1e-6) & (weights > 0)
@@ -52,16 +55,22 @@ def splat_depth(
     v = points_cam[:, 1] / safe_z * fy + cy
     ui = jnp.round(u).astype(jnp.int32)
     vi = jnp.round(v).astype(jnp.int32)
-    zbuf = jnp.full((height * width + 1,), jnp.inf, dtype=points_cam.dtype)
+    r = radius
+    hp, wp = height + 2 * r, width + 2 * r
+    # centers within r of the image still contribute to in-bounds pixels
+    inb = valid & (ui >= -r) & (ui < width + r) & (vi >= -r) & (vi < height + r)
+    flat = jnp.where(inb, (vi + r) * wp + (ui + r), hp * wp)
     zval = jnp.where(valid, z, jnp.inf)
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            uu = ui + dx
-            vv = vi + dy
-            inb = valid & (uu >= 0) & (uu < width) & (vv >= 0) & (vv < height)
-            flat = jnp.where(inb, vv * width + uu, height * width)
-            zbuf = zbuf.at[flat].min(zval, mode="drop")
-    return zbuf[: height * width].reshape(height, width)
+    zbuf = jnp.full((hp * wp + 1,), jnp.inf, dtype=points_cam.dtype)
+    zbuf = zbuf.at[flat].min(zval, mode="drop")
+    img = zbuf[: hp * wp].reshape(hp, wp)
+    if r > 0:
+        img = jax.lax.reduce_window(
+            img, jnp.inf, jax.lax.min,
+            window_dimensions=(2 * r + 1, 2 * r + 1),
+            window_strides=(1, 1), padding="VALID",
+        )
+    return img
 
 
 def splat_depth_batched(

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Reproduce the README accuracy table: dense-cloud ADD-S of full tracking
+over synthetic VGA T42 grasp sequences (exact GT), clean and noisy.
+
+    python scripts/eval_accuracy.py [--frames 8] [--shape ellipsoid]
+        [--particles 512] [--no-subpixel] [--noise clean|noisy|both]
+
+Noisy = 1 mm depth sigma + 2% dropout (the BASELINE-table condition).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run(shape: str, noise: bool, subpixel: bool, frames: int,
+        particles: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from icra20_hand_object_pose_tpu.datasets import (
+        SyntheticSequenceConfig, generate_sequence,
+    )
+    from icra20_hand_object_pose_tpu.evaluation import add_s_error
+    from icra20_hand_object_pose_tpu.models import (
+        Estimator, ObjectModel, Tracker, make_t42_hand,
+    )
+    from icra20_hand_object_pose_tpu.utils import meshio
+    from icra20_hand_object_pose_tpu.utils.config import (
+        CameraIntrinsics, EstimatorConfig, PsoConfig, ScoreConfig,
+    )
+
+    cam = CameraIntrinsics(width=640, height=480, fx=570.0, fy=570.0,
+                           cx=320.0, cy=240.0)
+    cfg = EstimatorConfig(
+        camera=cam, scene_points=2048,
+        pso=PsoConfig(particles=particles, iters=10),
+        score=ScoreConfig(subpixel=subpixel),
+    )
+    mesh = meshio.make_test_object(shape)
+    hand = make_t42_hand()
+    seq_cfg = SyntheticSequenceConfig(
+        n_frames=frames, camera=cam,
+        noise_sigma=0.001 if noise else 0.0,
+        dropout=0.02 if noise else 0.0,
+        seed=3,
+    )
+    frs = generate_sequence(mesh, hand, seq_cfg)
+    tracker = Tracker(Estimator(ObjectModel(mesh), hand, cfg), seed=0)
+    dense, _ = mesh.sample_surface(8192, seed=123)
+    errs, t0 = [], time.perf_counter()
+    for fr in frs:
+        out = tracker.step(
+            jnp.asarray(fr.depth), jnp.asarray(fr.hand_base),
+            jnp.asarray(fr.hand_q),
+        )
+        errs.append(add_s_error(np.asarray(out.pose), fr.pose_gt, dense))
+    dt = time.perf_counter() - t0
+    rec = dict(
+        shape=shape, noise=noise, subpixel=subpixel, frames=frames,
+        adds_mm=[round(e * 1000, 3) for e in errs],
+        adds_mm_mean=round(float(np.mean(errs)) * 1000, 3),
+        adds_mm_tracked_mean=round(float(np.mean(errs[1:])) * 1000, 3),
+        s_total=round(dt, 1),
+    )
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--shape", default="ellipsoid")
+    ap.add_argument("--particles", type=int, default=512)
+    ap.add_argument("--no-subpixel", action="store_true")
+    ap.add_argument("--noise", default="both", choices=["clean", "noisy", "both"])
+    a = ap.parse_args()
+    noises = {"clean": [False], "noisy": [True], "both": [False, True]}[a.noise]
+    for n in noises:
+        run(a.shape, n, not a.no_subpixel, a.frames, a.particles)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,3 +91,43 @@ def test_render_jit_compiles_once():
     a = f(pts + jnp.asarray([0.0, 0.0, 0.5]))
     b = f(pts + jnp.asarray([0.01, 0.0, 0.5]))
     assert a.shape == b.shape == (H, W)
+
+
+def test_splat_pool_matches_scatter_loop():
+    """The pooled splat must be bitwise-identical to the naive
+    footprint-scatter loop it replaced (min commutes with dilation),
+    including points whose CENTER falls off-image within the radius."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n, H, W = 400, 37, 53
+    fx = fy = 40.0; cx, cy = W / 2, H / 2
+    pts = np.stack([
+        rng.uniform(-1.0, 1.0, n), rng.uniform(-0.7, 0.7, n),
+        rng.uniform(0.3, 1.2, n)], -1).astype(np.float32)
+    w = (rng.random(n) > 0.1).astype(np.float32)
+
+    def naive(points_cam, weights, radius):
+        z = points_cam[:, 2]
+        valid = (z > 1e-6) & (weights > 0)
+        safe_z = jnp.where(valid, z, 1.0)
+        ui = jnp.round(points_cam[:, 0] / safe_z * fx + cx).astype(jnp.int32)
+        vi = jnp.round(points_cam[:, 1] / safe_z * fy + cy).astype(jnp.int32)
+        zbuf = jnp.full((H * W + 1,), jnp.inf, jnp.float32)
+        zval = jnp.where(valid, z, jnp.inf)
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                uu, vv = ui + dx, vi + dy
+                inb = valid & (uu >= 0) & (uu < W) & (vv >= 0) & (vv < H)
+                flat = jnp.where(inb, vv * W + uu, H * W)
+                zbuf = zbuf.at[flat].min(zval, mode="drop")
+        return zbuf[: H * W].reshape(H, W)
+
+    for radius in (0, 1, 2):
+        got = render.splat_depth(
+            jnp.asarray(pts), jnp.asarray(w), fx=fx, fy=fy, cx=cx, cy=cy,
+            height=H, width=W, radius=radius,
+        )
+        want = naive(jnp.asarray(pts), jnp.asarray(w), radius)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
