@@ -461,11 +461,32 @@ def make_mug(
     return Mesh(m.vertices - c, m.faces)
 
 
+def make_asym(depth=0.05) -> Mesh:
+    """Extruded scalene pentagon — NO nontrivial rotational symmetry.
+
+    Accuracy evaluations need this: every other primitive here has a
+    180-degree symmetry whose flip renders an identical depth image, so
+    sampled-cloud ADD-S bottoms out at ~half the sample spacing (~1 mm at
+    8192 points) even for a perfect estimate. On this object plain ADD is
+    valid and floor-free (measured r2: the 'residual ~0.97 mm ADD-S' on
+    the ellipsoid was entirely the metric floor under a symmetry flip;
+    true translation error was 0.1-0.2 mm).
+    """
+    poly = np.array(
+        [[0, 0], [0.085, 0.005], [0.09, 0.035], [0.045, 0.06], [0, 0.038]],
+        np.float32,
+    )
+    cap = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 4]], np.int32)
+    m = extrude_polygon(poly, cap, depth)
+    return Mesh(m.vertices - m.centroid().astype(np.float32), m.faces)
+
+
 def make_test_object(kind: str = "box") -> Mesh:
     """Canonical synthetic grasp objects used by tests/benchmarks.
 
     box/cylinder/sphere/ellipsoid are convex; lbracket/tee/mug are the
-    concave validation set for the point-mode scorer (VERDICT r1 item 2).
+    concave validation set for the point-mode scorer (VERDICT r1 item 2);
+    asym has no rotational symmetry (floor-free ADD accuracy evals).
     """
     if kind == "box":
         return make_box((0.05, 0.05, 0.12))
@@ -482,4 +503,6 @@ def make_test_object(kind: str = "box") -> Mesh:
         return make_tee()
     if kind == "mug":
         return make_mug()
+    if kind == "asym":
+        return make_asym()
     raise ValueError(kind)

@@ -51,22 +51,37 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
         dropout=0.02 if noise else 0.0,
         seed=3,
     )
+    from icra20_hand_object_pose_tpu.evaluation import (
+        add_error, rotation_error_deg, translation_error,
+    )
+
     frs = generate_sequence(mesh, hand, seq_cfg)
     tracker = Tracker(Estimator(ObjectModel(mesh), hand, cfg), seed=0)
     dense, _ = mesh.sample_surface(8192, seed=123)
-    errs, t0 = [], time.perf_counter()
+    errs, adds, rots, trs = [], [], [], []
+    t0 = time.perf_counter()
     for fr in frs:
         out = tracker.step(
             jnp.asarray(fr.depth), jnp.asarray(fr.hand_base),
             jnp.asarray(fr.hand_q),
         )
-        errs.append(add_s_error(np.asarray(out.pose), fr.pose_gt, dense))
+        P = np.asarray(out.pose)
+        errs.append(add_s_error(P, fr.pose_gt, dense))
+        adds.append(add_error(P, fr.pose_gt, dense))
+        rots.append(rotation_error_deg(P, fr.pose_gt))
+        trs.append(translation_error(P, fr.pose_gt))
     dt = time.perf_counter() - t0
     rec = dict(
         shape=shape, noise=noise, subpixel=subpixel, frames=frames,
         adds_mm=[round(e * 1000, 3) for e in errs],
         adds_mm_mean=round(float(np.mean(errs)) * 1000, 3),
         adds_mm_tracked_mean=round(float(np.mean(errs[1:])) * 1000, 3),
+        # NOTE: sampled-cloud ADD-S floors at ~half the sample spacing
+        # (~0.9 mm @8192 pts) when the estimate is a symmetry flip; ADD /
+        # rot / trans are floor-free but only meaningful on 'asym'.
+        add_mm_mean=round(float(np.mean(adds)) * 1000, 3),
+        rot_deg_mean=round(float(np.mean(rots)), 3),
+        trans_mm_mean=round(float(np.mean(trs)) * 1000, 3),
         s_total=round(dt, 1),
     )
     print(json.dumps(rec), flush=True)

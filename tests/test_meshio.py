@@ -127,3 +127,21 @@ def test_mug_is_hollow():
     hollow = _signed_volume(meshio.make_mug(handle=False))
     solid = np.pi * 0.035**2 * 0.09
     assert hollow < 0.5 * solid
+
+
+def test_asym_object_has_no_symmetry():
+    """The accuracy-eval object: watertight, outward, and NO 180-degree
+    rotational symmetry (flips must displace the surface by >> the dense
+    ADD-S floor, so metric floors can't hide on it)."""
+    m = meshio.make_test_object("asym")
+    assert _half_edge_violations(m) == 0
+    assert _signed_volume(m) > 0
+    pts, _ = m.sample_surface(2048, seed=0)
+    from scipy.spatial import cKDTree
+    tree = cKDTree(pts)
+    for axis in range(3):
+        R = -np.eye(3)
+        R[axis, axis] = 1.0  # 180-deg rotation about principal axis
+        d, _ = tree.query(pts @ R.T, k=1)
+        # >3mm: any flip sits far above the ~1mm dense ADD-S floor
+        assert d.mean() > 0.003, f"axis {axis} flip nearly symmetric"
