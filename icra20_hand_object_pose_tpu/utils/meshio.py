@@ -462,7 +462,9 @@ def make_mug(
 
 
 def make_asym(depth=0.05) -> Mesh:
-    """Extruded scalene pentagon — NO nontrivial rotational symmetry.
+    """Extruded unequal-leg step polygon — NO nontrivial rotational
+    symmetry (every 180-degree principal flip displaces the surface by
+    >10 mm mean; tested).
 
     Accuracy evaluations need this: every other primitive here has a
     180-degree symmetry whose flip renders an identical depth image, so
@@ -473,10 +475,13 @@ def make_asym(depth=0.05) -> Mesh:
     true translation error was 0.1-0.2 mm).
     """
     poly = np.array(
-        [[0, 0], [0.085, 0.005], [0.09, 0.035], [0.045, 0.06], [0, 0.038]],
+        [[0, 0], [0.10, 0], [0.10, 0.015], [0.03, 0.02], [0.03, 0.055],
+         [0, 0.055]],
         np.float32,
     )
-    cap = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 4]], np.int32)
+    cap = np.array(
+        [[0, 1, 2], [0, 2, 3], [0, 3, 4], [0, 4, 5]], np.int32
+    )
     m = extrude_polygon(poly, cap, depth)
     return Mesh(m.vertices - m.centroid().astype(np.float32), m.faces)
 
