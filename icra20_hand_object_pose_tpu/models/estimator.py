@@ -88,16 +88,14 @@ class Estimator:
         self.lo_cx = cam.cx / self.render_factor
         self.lo_cy = cam.cy / self.render_factor
         # one jit per (n_particles,) — track and init modes compile separately
+        statics = ("n_particles", "pso_iters", "resample_after", "prescreen")
         if self.mesh is None:
-            self._step_jit = jax.jit(
-                self._frame_step, static_argnames=("n_particles", "pso_iters")
-            )
+            self._step_jit = jax.jit(self._frame_step, static_argnames=statics)
         else:
-            self._step_jit = jax.jit(
-                self._sharded_step, static_argnames=("n_particles", "pso_iters")
-            )
+            self._step_jit = jax.jit(self._sharded_step, static_argnames=statics)
 
-    def _sharded_step(self, *args, n_particles: int, pso_iters: int):
+    def _sharded_step(self, *args, n_particles: int, pso_iters: int,
+                      resample_after: int = 0, prescreen: int = 0):
         """shard_map the whole frame program: inputs replicated, the swarm
         generated shard-locally (axis_index-folded RNG) so only tiny
         global-best all_gathers cross ICI. Outputs are replicated."""
@@ -114,6 +112,8 @@ class Estimator:
             self._frame_step,
             n_particles=n_particles // n_dev,
             pso_iters=pso_iters,
+            resample_after=resample_after,
+            prescreen=prescreen,
         )
         sm = shard_map(
             fn, mesh=self.mesh,
@@ -168,6 +168,8 @@ class Estimator:
         *,
         n_particles: int,
         pso_iters: int,
+        resample_after: int = 0,
+        prescreen: int = 0,
     ) -> FrameResult:
         cfg = self.cfg
         cam = cfg.camera
@@ -210,10 +212,15 @@ class Estimator:
             is_hand = jnp.min(d2h, axis=-1) < cfg.hand.segment_dist**2
             weights = weights * (~is_hand)
         # workspace crop around the track (reference crops to a hand-centric
-        # region of interest before ICP)
+        # region of interest before ICP). If the crop would leave (nearly)
+        # nothing — the prior has drifted clear of the observation — fall
+        # back to the uncropped cloud: a blinded estimator (n_scene=0,
+        # centroid=origin) can neither score honestly nor recapture via
+        # explorer particles.
         roi_center = prev_pose[:3, 3]
         d2c = jnp.sum((scene.points - roi_center) ** 2, axis=-1)
-        weights = weights * (d2c < roi_radius * roi_radius)
+        roi_w = weights * (d2c < roi_radius * roi_radius)
+        weights = jnp.where(jnp.sum(roi_w) >= 32.0, roi_w, weights)
 
         # 3. swarm init: perturbations of prev_pose, or (global re-init)
         #    random orientations at the observed centroid.
@@ -223,16 +230,71 @@ class Estimator:
             k_init, prev_pose, rot_sigma, trans_sigma, shape=(n_particles,)
         )
         kq, kt = jax.random.split(k_init)
-        rand_R = se3.random_rotation(kq, (n_particles,))
-        rand_t = centroid[None] + jax.random.normal(kt, (n_particles, 3)) * trans_sigma
-        global_init = se3.make_pose(rand_R, rand_t)
+        # low-discrepancy SO(3) coverage (randomly offset per call): iid
+        # rotations leave large orientation holes at swarm sizes, and a
+        # missed true basin = a pseudo-symmetric lock (see se3.
+        # super_fibonacci_rotations)
+        model_pts, model_normals, render_pts, render_normals, render_w = obj_tensors
+        kr = min(cfg.pso.scan_render_subset, render_pts.shape[0])
+
+        def aligned_candidates(k_noise, rotations):
+            """Candidate poses from orientations: per-orientation
+            translation aligns the model's PREDICTED visible-surface
+            centroid with the observed cloud centroid. The naive
+            'object center at observed centroid' prior misses by up to
+            half the object extent (measured r2: 48 mm on a grasped step
+            object — outside the PSO+ICP convergence basin); aligning
+            visible centroids is correct to the occlusion bias (~1 cm)."""
+            n = rotations.shape[0]
+            T0 = se3.make_pose(rotations, jnp.zeros((n, 3), rotations.dtype))
+            pts_r = se3.transform_points(T0, render_pts[:kr])   # [n,kr,3]
+            nrm_r = se3.rotate_vectors(T0, render_normals[:kr])
+            vis_w = (nrm_r[..., 2] < 0.0) * render_w[:kr][None]  # camera +z
+            wsum_r = jnp.maximum(jnp.sum(vis_w, -1, keepdims=True), 1e-6)
+            m_vis = jnp.sum(pts_r * vis_w[..., None], 1) / wsum_r
+            t = centroid[None] - m_vis + jax.random.normal(
+                k_noise, (n, 3)) * (0.3 * trans_sigma)
+            return se3.make_pose(rotations, t)
+
+        if prescreen > n_particles:
+            # init pre-screen: ONE scoring pass (no ICP) over a much
+            # denser orientation grid than the swarm could carry; the
+            # best n_particles become the swarm. Cost ~= one scan
+            # iteration's scoring, paid once per (re-)registration.
+            cand = aligned_candidates(
+                kt, se3.super_fibonacci_rotations(prescreen, kq)
+            )
+            cand_fit, _ = pso.score_particles(
+                cand, render_pts[:kr], render_normals[:kr], render_w[:kr],
+                scene.depth, scene.valid, hd_lo,
+                fx=self.lo_fx, fy=self.lo_fy, cx=self.lo_cx, cy=self.lo_cy,
+                height=self.lo_h, width=self.lo_w,
+                splat_radius=1, score_cfg=cfg.score,
+            )
+            _, top = jax.lax.top_k(cand_fit, n_particles)
+            global_init = cand[top]
+        else:
+            global_init = aligned_candidates(
+                kt, se3.super_fibonacci_rotations(n_particles, kq)
+            )
+        # explorer particles: even while tracking, the tail of the swarm
+        # re-runs the global search so a competitively-scoring WRONG basin
+        # (possible under occlusion/near-symmetry) is recaptured as soon
+        # as the true basin scores better — without waiting for the
+        # fitness watchdog to fire.
+        n_explore = int(round(n_particles * self.cfg.pso.explore_frac))
+        if n_explore > 0 and n_particles > n_explore:
+            row = jnp.arange(n_particles)[:, None, None]
+            tracked = jnp.where(
+                row >= n_particles - n_explore, global_init, tracked
+            )
         poses0 = jnp.where(uniform_rot, global_init, tracked)
 
         # 4. the PSO + ICP + render-and-compare device loop (L4).
         pso_cfg = dataclasses.replace(
-            self.cfg.pso, particles=n_particles, iters=pso_iters
+            self.cfg.pso, particles=n_particles, iters=pso_iters,
+            resample_after=resample_after,
         )
-        model_pts, model_normals, render_pts, render_normals, render_w = obj_tensors
         result = pso.pso(
             k_pso, poses0,
             scene.points, scene.normals, weights,
@@ -313,6 +375,11 @@ class Estimator:
                 n_particles=tr.reinit_particles,
                 pso_iters=max(cfg.pso.iters, 2 * cfg.pso.iters),
             )
+            # explore-then-exploit: no diversity collapse for the first
+            # half of the global search (PsoConfig.resample_after), and a
+            # dense one-shot orientation pre-screen seeds the swarm
+            args["resample_after"] = args["pso_iters"] // 2
+            args["prescreen"] = tr.reinit_prescreen
         else:
             raise ValueError(f"unknown mode {mode!r}")
         dyn = (
@@ -325,7 +392,9 @@ class Estimator:
             jnp.asarray(args["roi_radius"], jnp.float32),
         )
         static = dict(
-            n_particles=args["n_particles"], pso_iters=args["pso_iters"]
+            n_particles=args["n_particles"], pso_iters=args["pso_iters"],
+            resample_after=args.get("resample_after", 0),
+            prescreen=args.get("prescreen", 0),
         )
         return dyn, static
 

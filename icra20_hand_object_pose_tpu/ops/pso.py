@@ -58,6 +58,7 @@ def score_particles(
     splat_radius: int,
     score_cfg: ScoreConfig,
     subpixel: bool = False,
+    observed_enc: jax.Array | None = None,  # precomputed encode_observed
 ) -> tuple[jax.Array, jax.Array]:
     """Render-and-compare fitness for every particle. Returns
     (fitness [P], coverage [P]).
@@ -78,6 +79,8 @@ def score_particles(
             occlusion_margin=score_cfg.occlusion_margin,
             invalid_penalty=score_cfg.invalid_penalty,
             subpixel=subpixel,
+            ghost_dilate=score_cfg.ghost_dilate,
+            observed_enc=observed_enc,
         )
     else:
         depths = render.splat_depth_batched(
@@ -90,6 +93,7 @@ def score_particles(
             wrong_side_penalty=score_cfg.wrong_side_penalty,
             occlusion_margin=score_cfg.occlusion_margin,
             invalid_penalty=score_cfg.invalid_penalty,
+            ghost_dilate=score_cfg.ghost_dilate,
         )
     fitness = terms.fitness + score_cfg.coverage_weight * terms.coverage
     return fitness, terms.coverage
@@ -145,6 +149,11 @@ def pso(
     # coarse tier's gathers index a 16x smaller table (measurably
     # cheaper) and the scan does not need sub-mm discrimination.
     kr = min(pso_cfg.scan_render_subset, render_pts.shape[0])
+    # encode the observed images ONCE per tier, outside the scans: the
+    # silhouette-band dilation must not be recomputed every iteration
+    enc_lo = score.encode_observed(
+        observed_depth, observed_valid, score_cfg.ghost_dilate
+    )
     score_fn = partial(
         score_particles,
         render_pts=render_pts[:kr], render_normals=render_normals[:kr],
@@ -153,9 +162,11 @@ def pso(
         hand_depth=hand_depth,
         fx=fx, fy=fy, cx=cx, cy=cy, height=height, width=width,
         splat_radius=splat_radius, score_cfg=score_cfg,
+        observed_enc=enc_lo,
     )
     if observed_hi is not None:
         (d_hi, v_hi, h_hi, fx_h, fy_h, cx_h, cy_h, hh, wh) = observed_hi
+        enc_hi = score.encode_observed(d_hi, v_hi, score_cfg.ghost_dilate)
         score_fn_hi = partial(
             score_particles,
             render_pts=render_pts, render_normals=render_normals,
@@ -166,6 +177,7 @@ def pso(
             # fine tier: sub-pixel (edge-aware bilinear) observed-depth
             # gather removes the ~z/f-per-pixel quantization floor
             subpixel=score_cfg.subpixel,
+            observed_enc=enc_hi,
         )
     else:
         score_fn_hi = score_fn
@@ -246,7 +258,9 @@ def pso(
 
         # 5. elite resample: the worst n_resample particles teleport to
         #    fresh perturbations of the global best. top_k on negated
-        #    fitness beats a full argsort in the scan body.
+        #    fitness beats a full argsort in the scan body. Gated on
+        #    it >= resample_after: global init needs an exploration phase
+        #    before exploitation may collapse diversity onto one basin.
         if n_resample > 0:
             _, worst = jax.lax.top_k(-fitness, n_resample)
             fresh = se3.perturb_pose(
@@ -254,8 +268,13 @@ def pso(
                 pso_cfg.rot_sigma * sig, pso_cfg.trans_sigma * sig,
                 shape=(n_resample,),
             )
-            poses = poses.at[worst].set(fresh)
-            fitness = fitness.at[worst].set(-jnp.inf)
+            do = it >= pso_cfg.resample_after
+            poses = poses.at[worst].set(
+                jnp.where(do, fresh, poses[worst])
+            )
+            fitness = fitness.at[worst].set(
+                jnp.where(do, -jnp.inf, fitness[worst])
+            )
 
         sig = sig * pso_cfg.sigma_decay
         return (poses, fitness, best_pose, best_fit, best_cov, sig, k), best_fit
@@ -264,10 +283,23 @@ def pso(
         body, init, jnp.arange(pso_cfg.iters)
     )
 
-    # Final polish: full-depth ICP from the best hypothesis, accepted only
-    # if it does not hurt the render-and-compare fitness.
-    polished, _ = icp_mod.icp(
-        best_pose, scene_pts, scene_normals, scene_weights,
+    # Final polish at the FINE scoring tier, over the top-K swarm
+    # candidates (not only the incumbent): competing basins can sit
+    # within a few percent of each other at the coarse tier (quantized,
+    # subset-sampled), so basin selection is deferred to here. Each
+    # candidate is full-ICP-polished (batched — K+1 poses cost ~K/P of
+    # one in-scan refine) and both raw and polished versions are scored
+    # hi-res; per candidate the polished pose wins within a small
+    # tolerance (geometric refinement is trusted over the tau-saturated
+    # score surrogate), then the best candidate wins outright.
+    K = max(0, min(pso_cfg.polish_top_k, P - 1))
+    if K > 0:
+        _, topi = jax.lax.top_k(fitness, K)
+        cands = jnp.concatenate([best_pose[None], poses[topi]])  # [K+1,4,4]
+    else:
+        cands = best_pose[None]
+    polished, _ = icp_mod.icp_batched(
+        cands, scene_pts, scene_normals, scene_weights,
         model_pts, model_normals,
         iters=icp_cfg.iters,
         max_corresp_dist=icp_cfg.max_corresp_dist,
@@ -276,17 +308,13 @@ def pso(
         step_scale=icp_cfg.step_scale,
         nn_fn=nn_fn, corr_fn=corr_fn,
     )
-    # Switch to the fine scoring tier: re-baseline the incumbent best so
-    # every comparison below is hi-vs-hi, then gate the polish within a
-    # small fitness tolerance — the score is a coarse (quantized,
-    # tau-saturated) surrogate and geometric refinement is trusted.
-    bf_hi, bc_hi = score_fn_hi(best_pose[None])
-    best_fit, best_cov = bf_hi[0], bc_hi[0]
-    pf, pc = score_fn_hi(polished[None])
-    keep = pf[0] >= best_fit - pso_cfg.polish_accept_tol
-    best_pose = jnp.where(keep, polished, best_pose)
-    best_fit = jnp.where(keep, pf[0], best_fit)
-    best_cov = jnp.where(keep, pc[0], best_cov)
+    f_c, c_c = score_fn_hi(cands)
+    f_p, c_p = score_fn_hi(polished)
+    take_pol = f_p >= f_c - pso_cfg.polish_accept_tol
+    f_sel = jnp.where(take_pol, f_p, f_c)
+    c_sel = jnp.where(take_pol, c_p, c_c)
+    p_sel = jnp.where(take_pol[:, None, None], polished, cands)
+    best_pose, best_fit, best_cov = swarm_best(p_sel, f_sel, c_sel)
 
     # Score-only annealed finisher: ICP cannot constrain the tangential
     # DOFs of near-flat geometry (any in-face slide is a point-to-plane

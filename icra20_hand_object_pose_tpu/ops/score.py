@@ -48,6 +48,35 @@ class ScoreTerms(NamedTuple):
     counted: jax.Array    # [...,] pixels with evidence
 
 
+# invalid-pixel classes in the encoded observed image (encode_observed)
+_FAR = 1e9    # no return, not adjacent to the silhouette -> ghost penalty
+_NEAR = -1.0  # no return but within ghost_dilate px of a return -> neutral
+
+
+def encode_observed(
+    observed: jax.Array,        # [H,W] depth, 0 invalid
+    observed_valid: jax.Array,  # [H,W] bool
+    ghost_dilate: int = 1,
+) -> jax.Array:
+    """Fold (depth, valid, near-silhouette) into ONE image so point
+    scoring classifies each sample with a single gather: valid pixels
+    carry their depth, no-return pixels carry _NEAR within `ghost_dilate`
+    px of a valid return (silhouette tolerance band — neutral evidence)
+    and _FAR beyond it (ghost penalty). Called once per frame/tier in
+    ops/pso.py, OUTSIDE the scan, so the dilation is never recomputed in
+    the hot loop."""
+    if ghost_dilate > 0:
+        k = 2 * ghost_dilate + 1
+        v_dil = jax.lax.reduce_window(
+            observed_valid, False, jax.lax.bitwise_or,
+            window_dimensions=(k, k), window_strides=(1, 1), padding="SAME",
+        )
+        fill = jnp.where(v_dil, _NEAR, _FAR)
+    else:
+        fill = jnp.full_like(observed, _FAR)
+    return jnp.where(observed_valid, observed, fill)
+
+
 def compare_depth(
     rendered: jax.Array,    # [...,H,W] object hypothesis depth (+inf empty)
     observed: jax.Array,    # [H,W] observed depth (0 invalid)
@@ -58,9 +87,12 @@ def compare_depth(
     wrong_side_penalty: float = 2.0,
     occlusion_margin: float = 0.005,
     invalid_penalty: float = 0.3,
+    ghost_dilate: int = 1,
 ) -> ScoreTerms:
     """Score rendered depth(s) against one observed frame. Broadcasts over
-    leading particle axes of `rendered`."""
+    leading particle axes of `rendered`. `ghost_dilate`: rendered pixels
+    within that many px of a valid return are not ghosts (silhouette
+    tolerance — see compare_points)."""
     r_valid = jnp.isfinite(rendered)
     if hand_depth is not None:
         occluded = hand_depth[None] < (rendered - occlusion_margin) if rendered.ndim == 3 else (
@@ -77,7 +109,14 @@ def compare_depth(
     counted_px = visible & observed_valid
     match = counted_px & (absdiff < depth_tau)
     wrong = counted_px & (diff < -depth_tau)      # floats in front of evidence
-    ghost = visible & (~observed_valid)           # renders over no-return
+    not_near = ~observed_valid
+    if ghost_dilate > 0:
+        k = 2 * ghost_dilate + 1
+        not_near = ~jax.lax.reduce_window(
+            observed_valid, False, jax.lax.bitwise_or,
+            window_dimensions=(k, k), window_strides=(1, 1), padding="SAME",
+        )
+    ghost = visible & (~observed_valid) & not_near  # renders over no-return
 
     support_px = jnp.where(match, 1.0 - absdiff / depth_tau, 0.0)
     axes = (-1, -2)
@@ -97,48 +136,65 @@ def compare_depth(
     return ScoreTerms(fitness=fitness, coverage=coverage, support=support, counted=n_counted)
 
 
+def pack_quad(enc: jax.Array) -> jax.Array:
+    """[H,W] encoded image -> [(H+1)*(W+1), 4] per-cell 2x2 neighborhoods.
+
+    Row (v0+1)*(W+1)+(u0+1) holds [enc[v0,u0], enc[v0,u0+1],
+    enc[v0+1,u0], enc[v0+1,u0+1]] with a _FAR border, so the subpixel
+    scorer fetches all four bilinear corners with ONE gather instead of
+    four — gathers are the dominant cost of the fine scoring tier
+    (measured r2: the finisher was 55% of the frame at 4 gathers/sample).
+    """
+    ep = jnp.pad(enc, ((1, 1), (1, 1)), constant_values=_FAR)  # [H+2,W+2]
+    q = jnp.stack(
+        [ep[:-1, :-1], ep[:-1, 1:], ep[1:, :-1], ep[1:, 1:]], axis=-1
+    )                                                          # [H+1,W+1,4]
+    return q.reshape(-1, 4)
+
+
 def _bilinear_depth(
     u: jax.Array,            # [...,N] continuous pixel x (pixel centers at ints)
     v: jax.Array,            # [...,N]
     inb: jax.Array,          # [...,N] projection in bounds (nearest-pixel)
-    observed: jax.Array,     # [H,W]
-    observed_valid: jax.Array,  # [H,W] bool
+    enc: jax.Array,          # [H,W] encoded observed image (encode_observed)
     *,
     height: int, width: int,
     edge_tau: float,
-) -> tuple[jax.Array, jax.Array]:
-    """Edge-aware bilinear sample of an observed depth map.
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Edge-aware bilinear sample of an ENCODED observed depth map.
 
-    Returns (depth, valid). Neighbors are weighted by bilinear weights,
-    masked by validity AND by |d_k - d_nearest| < edge_tau so depth
-    discontinuities do not blend across an edge; when the nearest pixel
-    is invalid the sample is invalid (matching nearest-gather semantics).
+    Returns (depth, valid, e_ref) where e_ref is the nearest corner's
+    encoded value (its class decides ghost/neutral for invalid samples).
+    Neighbors are weighted by bilinear weights, masked by validity AND by
+    |d_k - d_nearest| < edge_tau so depth discontinuities do not blend
+    across an edge; when the nearest pixel is invalid the sample is
+    invalid (matching nearest-gather semantics). All four corners come
+    from ONE gather of the quad-packed image (pack_quad).
 
-    Invalid pixels are encoded with a large FINITE sentinel (not inf):
-    two invalid corners would otherwise produce inf-inf = NaN in the
-    edge test — harmless (masked) but it trips jax_debug_nans, which CI
-    runs a frame under (SURVEY.md §6 sanitizers).
+    Invalid pixels carry large FINITE sentinels (encode_observed), never
+    inf: two invalid corners would otherwise produce inf-inf = NaN in
+    the edge test — harmless (masked) but it trips jax_debug_nans, which
+    CI runs a frame under (SURVEY.md §6 sanitizers).
     """
-    big = jnp.asarray(1e9, observed.dtype)
-    obs_enc = jnp.where(observed_valid, observed, big).reshape(-1)
+    packed = pack_quad(enc)
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
     au = u - u0
     av = v - v0
     u0i = u0.astype(jnp.int32)
     v0i = v0.astype(jnp.int32)
+    # inb (nearest pixel in range) implies u0 in [-1, W-1], v0 likewise,
+    # which the _FAR border of the packed table covers exactly
+    base = jnp.where(inb, (v0i + 1) * (width + 1) + (u0i + 1), 0)
+    quad = jnp.take(packed, base, axis=0)                      # [...,N,4]
 
     d_corner, w_corner, m_corner = [], [], []
-    for dv in (0, 1):
-        for du in (0, 1):
-            uu = u0i + du
-            vv = v0i + dv
-            ok = inb & (uu >= 0) & (uu < width) & (vv >= 0) & (vv < height)
-            d = jnp.take(obs_enc, jnp.where(ok, vv * width + uu, 0))
-            w = (au if du else 1.0 - au) * (av if dv else 1.0 - av)
-            d_corner.append(d)
-            w_corner.append(w)
-            m_corner.append(ok & (d < 0.5 * big))
+    for k, (dv, du) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        d = quad[..., k]
+        w = (au if du else 1.0 - au) * (av if dv else 1.0 - av)
+        d_corner.append(d)
+        w_corner.append(w)
+        m_corner.append(inb & (d > 0.0) & (d < 0.5 * _FAR))
     # nearest corner = the one the rounded gather would hit
     near_u = au >= 0.5
     near_v = av >= 0.5
@@ -156,7 +212,7 @@ def _bilinear_depth(
         den = den + wk
     valid = ref_ok & (den > 1e-6)
     depth = jnp.where(valid, num / jnp.maximum(den, 1e-6), 0.0)
-    return depth, valid
+    return depth, valid, d_ref
 
 
 def compare_points(
@@ -173,6 +229,8 @@ def compare_points(
     occlusion_margin: float = 0.005,
     invalid_penalty: float = 0.3,
     subpixel: bool = False,
+    ghost_dilate: int = 1,
+    observed_enc: jax.Array | None = None,
 ) -> ScoreTerms:
     """Point-wise render-and-compare: projective association instead of a
     per-particle z-buffer.
@@ -213,15 +271,29 @@ def compare_points(
     facing = jnp.sum(normals_cam * pts_cam, axis=-1) < 0.0
     vis = inb & facing
 
+    # One encoded image carries depth + the ghost/neutral class of every
+    # invalid pixel (encode_observed): classification stays a single
+    # gather. The silhouette-tolerance band exists because boundary
+    # samples of an exactly-correct pose land on no-return pixels just
+    # outside the silhouette (half-pixel rasterization + sensor edge
+    # dropout) and the invalid_penalty would systematically squeeze the
+    # pose inward/backward — a measured ~1-2 mm bias on flat objects.
+    # Samples projecting FAR into unobserved space (the 71 mm drift
+    # failure mode) still pay. Hot callers (ops/pso.py) precompute
+    # `observed_enc` once per frame/tier OUTSIDE the scan.
+    if observed_enc is None:
+        observed_enc = encode_observed(observed, observed_valid, ghost_dilate)
+    enc_flat = observed_enc.reshape(-1)
     flat = jnp.where(inb, vi * width + ui, 0)
     if subpixel:
-        d_obs, v_obs = _bilinear_depth(
-            u, v, inb, observed, observed_valid,
+        d_obs, v_obs, e_ref = _bilinear_depth(
+            u, v, inb, observed_enc,
             height=height, width=width, edge_tau=3.0 * depth_tau,
         )
     else:
-        d_obs = jnp.take(observed.reshape(-1), flat)
-        v_obs = jnp.take(observed_valid.reshape(-1), flat) & inb
+        e_ref = jnp.take(enc_flat, flat)
+        v_obs = inb & (e_ref > 0.0) & (e_ref < 0.5 * _FAR)
+        d_obs = e_ref
     if hand_depth is not None:
         d_hand = jnp.take(hand_depth.reshape(-1), flat)
         vis = vis & ~(d_hand < z - occlusion_margin)
@@ -231,7 +303,7 @@ def compare_points(
     counted = vis & v_obs
     match = counted & (absdiff < depth_tau)
     wrong = counted & (diff < -depth_tau)
-    ghost = vis & (~v_obs)
+    ghost = vis & (e_ref >= 0.5 * _FAR)
 
     dt = pts_cam.dtype
     support_pt = jnp.where(match, 1.0 - absdiff / depth_tau, 0.0)

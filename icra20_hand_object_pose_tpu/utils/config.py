@@ -72,7 +72,27 @@ class PsoConfig:
     icp_scene_subset: int = 512         # stochastic inner ICP: scene points
     icp_model_subset: int = 512         # stochastic inner ICP: model points
     elite_frac: float = 0.25            # resample worst particles around best
+    resample_after: int = 0             # first PSO iteration at which the
+                                        # elite resample may fire; init
+                                        # mode delays it (premature
+                                        # exploitation collapses swarm
+                                        # diversity onto the first decent
+                                        # basin before SO(3) is explored)
+    explore_frac: float = 0.0625        # tracked-mode fraction of the swarm
+                                        # re-seeded from the GLOBAL init
+                                        # distribution each frame: a wrong
+                                        # basin with competitive fitness
+                                        # (measured r2: 13mm lock for 6
+                                        # frames on the step object) can
+                                        # always be recaptured without
+                                        # waiting for watchdog collapse
     polish_accept_tol: float = 0.05     # final full-ICP polish acceptance
+    polish_top_k: int = 8               # swarm candidates promoted to the
+                                        # full-ICP polish + FINE-tier
+                                        # scoring; basin selection happens
+                                        # where discrimination is real
+                                        # (coarse-tier best vs runner-up
+                                        # gaps can be ~3%, measured r2)
     scan_render_subset: int = 512       # scoring samples for the coarse
                                         # basin-search tier (full set is
                                         # used at the fine tier)
@@ -96,6 +116,9 @@ class ScoreConfig:
     subpixel: bool = True               # fine scoring tier: edge-aware
                                         # bilinear observed-depth gather
                                         # (sub-pixel accuracy; point mode)
+    ghost_dilate: int = 1               # px of silhouette tolerance before
+                                        # a no-return projection is
+                                        # penalized as a ghost
 
 
 @dataclass(frozen=True)
@@ -114,6 +137,14 @@ class TrackerConfig:
     reinit_particles: int = 1024
     reinit_rot_sigma: float = 3.2           # ~uniform rotations
     reinit_trans_sigma: float = 0.05
+    reinit_prescreen: int = 4096            # orientations scored ONCE
+                                            # (no ICP) before the global
+                                            # search; top reinit_particles
+                                            # seed the swarm. ~13 deg
+                                            # orientation gaps at 4096 vs
+                                            # ~20 deg at 1024 — decides
+                                            # whether the true basin is
+                                            # visited at all. 0 = off.
 
 
 @dataclass(frozen=True)

@@ -320,6 +320,33 @@ def random_rotation(key: jax.Array, shape=()) -> jax.Array:
     return quat_to_matrix(random_quat(key, shape))
 
 
+def super_fibonacci_rotations(n: int, key: jax.Array | None = None) -> jax.Array:
+    """n near-optimally-spread SO(3) rotations (super-Fibonacci spirals,
+    Alexa CVPR'22) — low-discrepancy coverage for global-init orientation
+    seeding. iid random rotations leave ~40-degree holes at n=128; the
+    spiral's worst gap is far smaller at the same n, which decides
+    whether the true basin is visited at all (measured r2: a 128-sample
+    random init repeatedly locked a pseudo-symmetric wrong basin that a
+    covered init escapes). With `key`, the whole grid is offset by one
+    random rotation so repeated re-inits don't alias."""
+    i = jnp.arange(n, dtype=jnp.float32) + 0.5
+    phi = jnp.sqrt(2.0)
+    psi = 1.533751168755204288118041  # the "super-golden" constant
+    s = i / n
+    r = jnp.sqrt(s)
+    R = jnp.sqrt(1.0 - s)
+    alpha = 2.0 * jnp.pi * i / phi
+    beta = 2.0 * jnp.pi * i / psi
+    q = jnp.stack(
+        [r * jnp.sin(alpha), r * jnp.cos(alpha),
+         R * jnp.sin(beta), R * jnp.cos(beta)], axis=-1,
+    )
+    rot = quat_to_matrix(q)
+    if key is not None:
+        rot = _mm(random_rotation(key)[None], rot)
+    return rot
+
+
 def perturb_pose(
     key: jax.Array,
     T: jax.Array,

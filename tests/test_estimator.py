@@ -183,3 +183,36 @@ def test_estimate_input_validation(setup):
         est.estimate(good_depth, jnp.eye(3))
     with pytest.raises(ValueError, match="hand_q"):
         est.estimate(good_depth, jnp.eye(4), jnp.eye(4), jnp.zeros((5,)))
+
+
+def test_explorer_particles_recapture_wrong_basin(setup):
+    """Tracked-mode recovery without the watchdog: prev_pose far from the
+    truth (wrong basin), explorer particles re-seeded from the global
+    distribution must recapture the true pose within one frame."""
+    cfg = small_config(
+        pso=dataclasses.replace(
+            small_config().pso, particles=64, iters=6, explore_frac=0.25
+        ),
+    )
+    mesh = meshio.make_test_object("ellipsoid")
+    obj = ObjectModel(mesh, model_points=256, render_points=512)
+    scfg = synthetic.SyntheticSequenceConfig(
+        n_frames=1, camera=CAM, noise_sigma=0.0005, dropout=0.01, seed=5,
+        step_rot_deg=0.0, step_trans=0.0,
+    )
+    f = synthetic.generate_sequence(mesh, setup["hand"], scfg)[0]
+    est = Estimator(obj, setup["hand"], cfg)
+    T_gt = jnp.asarray(f.pose_gt)
+    # a decisively wrong prior: 120 deg about the object's own center,
+    # 6 cm away (anchored twist keeps the prior in the workspace)
+    wrong = se3.apply_twist_about(
+        jnp.asarray([2.1, 0.0, 0.0, 0.04, -0.03, 0.03], jnp.float32), T_gt,
+        se3.translation(T_gt),
+    )
+    out = est.estimate(
+        jnp.asarray(f.depth), wrong,
+        jnp.asarray(f.hand_base), jnp.asarray(f.hand_q),
+        key=jax.random.key(4), mode="track",
+    )
+    adds = float(se3.add_s_error(out.pose, T_gt, obj.model_pts))
+    assert adds < 0.010, f"stuck in wrong basin: ADD-S {adds*1000:.1f}mm"

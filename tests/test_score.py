@@ -92,11 +92,11 @@ def _plane_points(us, vs, depth_fn, fx=100.0, fy=100.0, cx=32.0, cy=24.0):
     return jnp.asarray(pts), jnp.asarray(nrm)
 
 
-def _compare(pts, nrm, obs, valid, subpixel, tau=0.01):
+def _compare(pts, nrm, obs, valid, subpixel, tau=0.01, ghost_dilate=0):
     return score.compare_points(
         pts, nrm, jnp.asarray(obs), jnp.asarray(valid), None,
         fx=100.0, fy=100.0, cx=32.0, cy=24.0, height=48, width=64,
-        depth_tau=tau, subpixel=subpixel,
+        depth_tau=tau, subpixel=subpixel, ghost_dilate=ghost_dilate,
     )
 
 
@@ -148,10 +148,36 @@ def test_subpixel_invalid_neighbor_excluded():
     )
     t = _compare(pts, nrm, obs, valid, subpixel=True)
     assert float(t.support) > 0.999
-    # nearest = (33,20) invalid -> ghost regardless of valid neighbors
+    # nearest = (33,20) invalid -> ghost (ghost_dilate=0 strict semantics)
     pts2, nrm2 = _plane_points(
         np.array([32.6], np.float32), np.array([20.0], np.float32),
         lambda u, v: np.full_like(u, 0.5),
     )
     t2 = _compare(pts2, nrm2, obs, valid, subpixel=True)
     assert float(t2.counted) == 1.0 and float(t2.support) == 0.0
+
+
+def test_ghost_dilation_tolerates_silhouette_band():
+    """With ghost_dilate=1, a no-return projection adjacent to valid
+    pixels is neutral (neither support nor penalty); one beyond the band
+    is still a penalized ghost. This removes the systematic inward
+    squeeze on exact poses whose boundary samples straddle the
+    silhouette."""
+    obs = np.zeros((48, 64), np.float32)
+    valid = np.zeros_like(obs, bool)
+    obs[:, :32] = 0.5
+    valid[:, :32] = True                 # silhouette edge at u=31.5
+    mk = lambda u: _plane_points(
+        np.array([u], np.float32), np.array([20.0], np.float32),
+        lambda uu, vv: np.full_like(uu, 0.5),
+    )
+    # 1 px outside the silhouette: neutral under dilation, ghost without
+    pts, nrm = mk(32.4)
+    t_dil = _compare(pts, nrm, obs, valid, subpixel=False, ghost_dilate=1)
+    t_raw = _compare(pts, nrm, obs, valid, subpixel=False, ghost_dilate=0)
+    assert float(t_dil.counted) == 0.0
+    assert float(t_raw.counted) == 1.0 and float(t_raw.support) == 0.0
+    # 3 px outside: ghost either way (drift into unobserved space pays)
+    pts2, nrm2 = mk(34.6)
+    t_far = _compare(pts2, nrm2, obs, valid, subpixel=False, ghost_dilate=1)
+    assert float(t_far.counted) == 1.0 and float(t_far.support) == 0.0

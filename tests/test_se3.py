@@ -124,3 +124,36 @@ def test_add_s_translation_sensitivity():
     err = float(se3.add_error(T1, T0, m))
     np.testing.assert_allclose(err, 0.01, atol=1e-6)
     assert float(se3.add_s_error(T1, T0, m)) <= err + 1e-6
+
+
+def test_super_fibonacci_rotations_valid_and_covering():
+    """Grid rotations are orthonormal and cover SO(3) with smaller worst
+    gaps than iid sampling at the same count (the property global init
+    relies on)."""
+    import jax
+
+    n = 256
+    R = np.asarray(se3.super_fibonacci_rotations(n))
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (n, 1, 1)), atol=1e-5)
+    assert np.allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+    probes = np.asarray(se3.random_rotation(jax.random.key(7), (512,)))
+    rand = np.asarray(se3.random_rotation(jax.random.key(8), (n,)))
+
+    def worst_gap_deg(grid):
+        # geodesic distance via trace; worst probe's nearest grid point
+        tr = np.einsum("pij,nij->pn", probes, grid)
+        cos = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+        return np.degrees(np.arccos(cos).min(axis=1).max())
+
+    assert worst_gap_deg(R) < worst_gap_deg(rand)
+    assert worst_gap_deg(R) < 45.0
+
+    # random offset keeps validity and changes the set
+    R2 = np.asarray(se3.super_fibonacci_rotations(n, jax.random.key(3)))
+    assert not np.allclose(R2, R)
+    np.testing.assert_allclose(
+        np.einsum("nij,nkj->nik", R2, R2), np.tile(np.eye(3), (n, 1, 1)),
+        atol=1e-5,
+    )
