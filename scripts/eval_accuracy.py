@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(shape: str, noise: bool, subpixel: bool, frames: int,
-        particles: int) -> dict:
+        particles: int, init_gt: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
@@ -57,6 +57,17 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
 
     frs = generate_sequence(mesh, hand, seq_cfg)
     tracker = Tracker(Estimator(ObjectModel(mesh), hand, cfg), seed=0)
+    if init_gt:
+        # standard tracking protocol: the first pose is given (as in the
+        # reference's recorded sequences); isolates tracking accuracy
+        # from single-frame global-init ambiguity
+        import jax
+        import dataclasses as dc
+        tracker.state = tracker.state._replace(
+            pose=jnp.asarray(frs[0].pose_gt),
+            initialized=jnp.asarray(True),
+            fitness=jnp.asarray(1.0),
+        )
     dense, _ = mesh.sample_surface(8192, seed=123)
     errs, adds, rots, trs = [], [], [], []
     t0 = time.perf_counter()
@@ -73,6 +84,7 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
     dt = time.perf_counter() - t0
     rec = dict(
         shape=shape, noise=noise, subpixel=subpixel, frames=frames,
+        init_gt=init_gt,
         adds_mm=[round(e * 1000, 3) for e in errs],
         adds_mm_mean=round(float(np.mean(errs)) * 1000, 3),
         adds_mm_tracked_mean=round(float(np.mean(errs[1:])) * 1000, 3),
@@ -94,11 +106,13 @@ def main():
     ap.add_argument("--shape", default="ellipsoid")
     ap.add_argument("--particles", type=int, default=512)
     ap.add_argument("--no-subpixel", action="store_true")
+    ap.add_argument("--init-gt", action="store_true",
+                    help="first pose given (standard tracking protocol)")
     ap.add_argument("--noise", default="both", choices=["clean", "noisy", "both"])
     a = ap.parse_args()
     noises = {"clean": [False], "noisy": [True], "both": [False, True]}[a.noise]
     for n in noises:
-        run(a.shape, n, not a.no_subpixel, a.frames, a.particles)
+        run(a.shape, n, not a.no_subpixel, a.frames, a.particles, a.init_gt)
 
 
 if __name__ == "__main__":
