@@ -202,6 +202,86 @@ def cmd_eval(args):
     return 0
 
 
+def cmd_sweep(args):
+    """Track a model library concurrently: one sequence per object, all
+    stepped as ONE device program (BASELINE config 5; LibrarySweep).
+    On a multi-chip mesh the object axis shards over devices."""
+    import jax
+    import jax.numpy as jnp
+
+    from .datasets.sequence import RecordedSequence
+    from .evaluation import JsonlLogger, add_s_error
+    from .models import ObjectModel
+    from .parallel import LibrarySweep, make_mesh
+
+    if len(args.data) != len(args.object):
+        print(f"error: {len(args.data)} sequences vs {len(args.object)} "
+              f"objects", file=sys.stderr)
+        return 2
+    seqs = [RecordedSequence(d) for d in args.data]
+    cams = {(s.camera.width, s.camera.height, s.camera.fx) for s in seqs}
+    if len(cams) != 1:
+        print("error: sequences must share camera intrinsics", file=sys.stderr)
+        return 2
+    n_frames = min(len(s) for s in seqs)
+    cfg = _load_cfg(args, camera=seqs[0].camera)
+    objs = [
+        ObjectModel.load(p, model_points=cfg.model_points) for p in args.object
+    ]
+    mesh = make_mesh(axis_name="obj") if args.shard and jax.device_count() > 1 else None
+    sweep = LibrarySweep(objs, _make_hand(cfg), cfg, mesh=mesh)
+    st = sweep.init_state()
+    os.makedirs(args.out, exist_ok=True)
+    pose_dirs = []
+    for i in range(len(objs)):
+        d = os.path.join(args.out, f"obj{i:02d}_poses")
+        os.makedirs(d, exist_ok=True)
+        pose_dirs.append(d)
+    t_total = 0.0
+    with JsonlLogger(os.path.join(args.out, "metrics.jsonl")) as log:
+        for fi in range(n_frames):
+            frames = [s[fi] for s in seqs]
+            depths = jnp.stack([jnp.asarray(f.depth) for f in frames])
+            hbs = jnp.stack([
+                jnp.asarray(f.hand_base) if f.hand_base is not None
+                else jnp.eye(4) for f in frames
+            ])
+            hq0 = next((f.hand_q for f in frames if f.hand_q is not None), None)
+            hqs = (
+                jnp.stack([
+                    jnp.asarray(f.hand_q) if f.hand_q is not None
+                    else jnp.zeros_like(jnp.asarray(hq0)) for f in frames
+                ]) if hq0 is not None else None
+            )
+            t0 = time.perf_counter()
+            st, res = sweep.step(st, depths, hbs, hqs)
+            poses = np.asarray(res.poses)
+            dt = time.perf_counter() - t0
+            t_total += dt
+            rec = dict(frame=fi, ms=dt * 1000.0,
+                       fitness=np.asarray(res.fitness).tolist(),
+                       reinitialized=np.asarray(res.reinitialized).tolist())
+            adds = []
+            for oi, (f, obj) in enumerate(zip(frames, objs)):
+                np.savetxt(os.path.join(pose_dirs[oi], f"{fi:06d}.txt"),
+                           poses[oi], fmt="%.9g")
+                if f.pose_gt is not None:
+                    adds.append(add_s_error(
+                        poses[oi], f.pose_gt, np.asarray(obj.model_pts)))
+            if adds:
+                rec["add_s"] = adds
+            log.log(**rec)
+            extra = (
+                " ADD-S[mm]=" + ",".join(f"{a*1000:.1f}" for a in adds)
+                if adds else ""
+            )
+            print(f"frame {fi}: {dt*1000:.0f}ms {len(objs)} objects{extra}",
+                  flush=True)
+    print(f"{n_frames} frames x {len(objs)} objects in {t_total:.2f}s "
+          f"({t_total/max(n_frames,1)*1000:.0f} ms/frame) -> {args.out}")
+    return 0
+
+
 def cmd_bench(args):
     from . import benchmarks  # packaged: works for installed wheels too
 
@@ -248,6 +328,19 @@ def main(argv=None):
                    help="reference pose dump (dir/.jsonl/.txt/.npy) for a "
                         "parity report vs another implementation")
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser(
+        "sweep", help="track a model library concurrently (one device program)"
+    )
+    p.add_argument("--data", action="append", required=True,
+                   help="sequence directory (repeat, one per object)")
+    p.add_argument("--object", action="append", required=True,
+                   help="object mesh (repeat, paired with --data by order)")
+    p.add_argument("--config", default=None)
+    p.add_argument("--out", default="out_sweep")
+    p.add_argument("--shard", action="store_true",
+                   help="shard the object axis over all local devices")
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("bench", help="run the headline benchmark")
     p.set_defaults(fn=cmd_bench)
