@@ -39,9 +39,16 @@ def _load_cfg(args, camera=None):
 
 
 def _make_hand(cfg):
-    from .models import make_t42_hand
+    from .models import load_hand_spec, make_model_o_hand, make_t42_hand
 
-    return make_t42_hand() if cfg.hand.enabled else None
+    if not cfg.hand.enabled:
+        return None
+    spec = cfg.hand.spec
+    if spec in ("", "t42"):
+        return make_t42_hand()
+    if spec == "model_o":
+        return make_model_o_hand()
+    return load_hand_spec(spec)
 
 
 def _track_frames(est, frames, out_dir, log_every=1, overlays=False):

@@ -180,6 +180,115 @@ class HandModel:
 
 
 # ---------------------------------------------------------------------------
+# File-driven hand description (real mesh assets plug in with no code change)
+# ---------------------------------------------------------------------------
+
+def _rpy_matrix(rpy) -> np.ndarray:
+    r, p, y = [float(v) for v in rpy]
+    cr, sr = np.cos(r), np.sin(r)
+    cp, sp = np.cos(p), np.sin(p)
+    cy, sy = np.cos(y), np.sin(y)
+    Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]], np.float32)
+    Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]], np.float32)
+    Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]], np.float32)
+    return Rz @ Ry @ Rx
+
+
+def _spec_mesh(entry: dict, base_dir: str) -> meshio.Mesh:
+    if "mesh" in entry:
+        import os
+
+        path = entry["mesh"]
+        if not os.path.isabs(path):
+            path = os.path.join(base_dir, path)
+        return meshio.load_mesh(path)
+    prim = dict(entry["primitive"])
+    kind = prim.pop("kind")
+    makers = {
+        "box": meshio.make_box,
+        "capsule": meshio.make_capsule,
+        "cylinder": meshio.make_cylinder,
+        "sphere": meshio.make_icosphere,
+    }
+    if kind not in makers:
+        raise ValueError(f"unknown primitive kind {kind!r}")
+    return makers[kind](**prim)
+
+
+def load_hand_spec(path: str) -> HandModel:
+    """Build a HandModel from a YAML hand description.
+
+    The reference ships its T42 / Model O as mesh assets + kinematic
+    parameters (SURVEY.md §3 "Hand kinematic model"); this loader is the
+    drop-in point for those real assets — each link takes either a mesh
+    file (relative paths resolve against the spec's directory) or a
+    procedural primitive, plus the same kinematic fields as HandLink:
+
+        n_joints: 2
+        points_per_link: 256        # optional
+        links:
+          - name: palm
+            parent: -1              # index or parent link NAME
+            origin: {xyz: [0,0,0], rpy: [0,0,0]}   # or a 4x4 row-major list
+            primitive: {kind: box, extents: [0.075, 0.028, 0.04]}
+          - name: fA_prox
+            parent: palm
+            origin: {xyz: [0.034, 0.0, 0.018]}
+            axis: [0, 1, 0]
+            joint: 0
+            coupling: -1.0
+            rest: 0.0
+            mesh: meshes/proximal.obj
+    """
+    import os
+
+    import yaml
+
+    with open(path) as f:
+        spec = yaml.safe_load(f)
+    base_dir = os.path.dirname(os.path.abspath(path))
+    names: dict[str, int] = {}
+    links: list[HandLink] = []
+    for entry in spec["links"]:
+        parent = entry.get("parent", -1)
+        if isinstance(parent, str):
+            if parent not in names:
+                raise ValueError(
+                    f"link {entry['name']!r}: unknown parent {parent!r} "
+                    "(parents must be declared first)"
+                )
+            parent = names[parent]
+        origin = entry.get("origin", {})
+        if isinstance(origin, list):
+            T = np.asarray(origin, np.float32).reshape(4, 4)
+        else:
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = _rpy_matrix(origin.get("rpy", (0.0, 0.0, 0.0)))
+            T[:3, 3] = np.asarray(origin.get("xyz", (0.0, 0.0, 0.0)), np.float32)
+        joint = int(entry.get("joint", -1))
+        if joint >= spec["n_joints"]:
+            raise ValueError(
+                f"link {entry['name']!r}: joint {joint} out of range "
+                f"(n_joints={spec['n_joints']})"
+            )
+        names[entry["name"]] = len(links)
+        links.append(HandLink(
+            name=entry["name"],
+            mesh=_spec_mesh(entry, base_dir),
+            parent=parent,
+            origin=T,
+            axis=np.asarray(entry.get("axis", (0.0, 0.0, 0.0)), np.float32),
+            joint=joint,
+            coupling=float(entry.get("coupling", 1.0)),
+            rest=float(entry.get("rest", 0.0)),
+        ))
+    return HandModel(
+        links, n_joints=int(spec["n_joints"]),
+        points_per_link=int(spec.get("points_per_link", 256)),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Procedural Yale OpenHand T42-class gripper
 # ---------------------------------------------------------------------------
 

@@ -132,6 +132,10 @@ class HandConfig:
     config_samples: int = 8             # sampled finger configurations
     joint_sigma: float = 0.12           # radians; actuation uncertainty
     enabled: bool = True
+    spec: str = "t42"                   # "t42" | "model_o" (procedural
+                                        # built-ins) or a hand-spec YAML
+                                        # path (models.load_hand_spec) for
+                                        # real mesh assets
 
 
 @dataclass(frozen=True)

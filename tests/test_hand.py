@@ -105,3 +105,65 @@ def test_model_o_hand():
         return float(f1 - th)
 
     assert tip_gap(jnp.asarray([0.7, 0.7, 0.7])) < tip_gap(jnp.zeros(3))
+
+
+def test_hand_spec_reproduces_procedural_t42():
+    """configs/hand_t42.yaml must build the exact same hand as the
+    procedural make_t42_hand (same clouds, same FK) — proving the
+    file-driven spec path real mesh assets will use."""
+    import os
+
+    from icra20_hand_object_pose_tpu.models import load_hand_spec
+
+    spec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "hand_t42.yaml",
+    )
+    h_spec = load_hand_spec(spec_path)
+    h_proc = make_t42_hand()
+    assert h_spec.n_joints == h_proc.n_joints
+    assert h_spec.num_links == h_proc.num_links
+    q = jnp.asarray([0.4, 0.55])
+    base = jnp.asarray(np.eye(4, dtype=np.float32))
+    np.testing.assert_allclose(
+        np.asarray(h_spec.cloud(base, q)), np.asarray(h_proc.cloud(base, q)),
+        atol=1e-6,
+    )
+
+
+def test_hand_spec_mesh_file_and_errors(tmp_path):
+    """Spec links can reference mesh files (relative paths); bad parents
+    and joint indices fail loudly."""
+    import pytest
+    import yaml
+
+    from icra20_hand_object_pose_tpu.models import load_hand_spec
+    from icra20_hand_object_pose_tpu.utils import meshio
+
+    meshio.save_obj(meshio.make_box((0.02, 0.02, 0.02)), str(tmp_path / "l.obj"))
+    spec = {
+        "n_joints": 1,
+        "links": [
+            {"name": "base", "parent": -1, "mesh": "l.obj"},
+            {"name": "f", "parent": "base", "origin": {"xyz": [0, 0, 0.02]},
+             "axis": [0, 1, 0], "joint": 0, "mesh": "l.obj"},
+        ],
+    }
+    p = str(tmp_path / "hand.yaml")
+    with open(p, "w") as f:
+        yaml.safe_dump(spec, f)
+    h = load_hand_spec(p)
+    assert h.num_links == 2 and h.n_joints == 1
+
+    bad = dict(spec, links=[dict(spec["links"][1], parent="nope")])
+    with open(p, "w") as f:
+        yaml.safe_dump(bad, f)
+    with pytest.raises(ValueError, match="unknown parent"):
+        load_hand_spec(p)
+
+    bad2 = dict(spec)
+    bad2["links"] = [spec["links"][0], dict(spec["links"][1], joint=3)]
+    with open(p, "w") as f:
+        yaml.safe_dump(bad2, f)
+    with pytest.raises(ValueError, match="out of range"):
+        load_hand_spec(p)
