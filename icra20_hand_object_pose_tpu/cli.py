@@ -149,7 +149,7 @@ def cmd_demo(args):
     from .datasets.sequence import RecordedSequence, save_sequence
     from .models import Estimator, ObjectModel
     from .utils import meshio
-    from .utils.config import CameraIntrinsics, PsoConfig, TrackerConfig
+    from .utils.config import CameraIntrinsics
 
     cam = CameraIntrinsics(width=args.width, height=args.height,
                            fx=0.9 * args.width, fy=0.9 * args.width,

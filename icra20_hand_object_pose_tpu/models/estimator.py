@@ -20,7 +20,6 @@ object mesh + hand model -> feed depth frames -> SE(3) pose per frame"):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import NamedTuple
 
 import jax

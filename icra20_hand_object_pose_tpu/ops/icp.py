@@ -21,7 +21,6 @@ to the posed model cloud and left-multiplies the pose with exp(xi).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -16,7 +16,6 @@ Both run on a virtual CPU mesh for testing
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple, Sequence
 

@@ -61,8 +61,6 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
         # standard tracking protocol: the first pose is given (as in the
         # reference's recorded sequences); isolates tracking accuracy
         # from single-frame global-init ambiguity
-        import jax
-        import dataclasses as dc
         tracker.state = tracker.state._replace(
             pose=jnp.asarray(frs[0].pose_gt),
             initialized=jnp.asarray(True),
