@@ -270,23 +270,38 @@ class Estimator:
                 height=self.lo_h, width=self.lo_w,
                 splat_radius=1, score_cfg=cfg.score,
             )
-            _, top = jax.lax.top_k(cand_fit, n_particles)
-            global_init = cand[top]
+            # STRATIFIED seeding: half the swarm from the best raw scores,
+            # half strided across the whole orientation grid regardless of
+            # score. Pure top-K is over-exploitative: the un-refined score
+            # of a correct-but-15-degrees-off candidate can rank below
+            # hundreds of candidates clustered around a pseudo-symmetric
+            # flip, and then NO seed lies in the true basin (measured r2:
+            # exactly this locked a 14 mm flip on the step object while
+            # the true basin scored 1.36 vs the flip's 0.77 once refined).
+            n_top = n_particles // 2
+            _, top = jax.lax.top_k(cand_fit, n_top)
+            stride_idx = np.linspace(
+                0, prescreen - 1, n_particles - n_top
+            ).round().astype(np.int32)
+            global_init = jnp.concatenate([cand[top], cand[stride_idx]])
         else:
             global_init = aligned_candidates(
                 kt, se3.super_fibonacci_rotations(n_particles, kq)
             )
-        # explorer particles: even while tracking, the tail of the swarm
+        # explorer particles: even while tracking, part of the swarm
         # re-runs the global search so a competitively-scoring WRONG basin
         # (possible under occlusion/near-symmetry) is recaptured as soon
         # as the true basin scores better — without waiting for the
-        # fitness watchdog to fire.
+        # fitness watchdog to fire. Rows are taken at an even STRIDE of
+        # the super-Fibonacci grid: consecutive spiral rows (s -> 1)
+        # cluster near a circle subgroup of SO(3), so a contiguous tail
+        # would probe nearly one orientation per frame.
         n_explore = int(round(n_particles * self.cfg.pso.explore_frac))
         if n_explore > 0 and n_particles > n_explore:
-            row = jnp.arange(n_particles)[:, None, None]
-            tracked = jnp.where(
-                row >= n_particles - n_explore, global_init, tracked
-            )
+            idx = np.linspace(
+                0, n_particles - 1, n_explore
+            ).round().astype(np.int32)
+            tracked = tracked.at[idx].set(global_init[idx])
         poses0 = jnp.where(uniform_rot, global_init, tracked)
 
         # 4. the PSO + ICP + render-and-compare device loop (L4).
