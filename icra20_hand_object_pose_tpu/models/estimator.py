@@ -45,6 +45,8 @@ class FrameResult(NamedTuple):
     coverage: jax.Array       # scalar in [0,1]
     fitness_trace: jax.Array  # [pso_iters]
     n_scene: jax.Array        # scalar, surviving scene points
+    hyp_poses: jax.Array      # [H,4,4] competing-basin hypotheses (0 = best)
+    hyp_fitness: jax.Array    # [H] (-inf = slot without a distinct basin)
 
 
 class Estimator:
@@ -155,7 +157,9 @@ class Estimator:
         self,
         key: jax.Array,
         depth_m: jax.Array,       # [H,W] meters
-        prev_pose: jax.Array,     # [4,4]
+        prev_pose: jax.Array,     # [4,4], or [Hy,4,4] hypothesis priors
+                                  # (row 0 = best; multi-hypothesis
+                                  # tracking splits the swarm among them)
         hand_base: jax.Array,     # [4,4]
         hand_q: jax.Array,        # [J]
         obj_tensors: tuple,       # (model_pts, model_normals,
@@ -173,6 +177,8 @@ class Estimator:
         cfg = self.cfg
         cam = cfg.camera
         axis_name = self.axis_name if self.mesh is not None else None
+        prev_poses = prev_pose if prev_pose.ndim == 3 else prev_pose[None]
+        n_hyp = prev_poses.shape[0]
         k_hand, k_pre, k_init, k_pso = jax.random.split(key, 4)
         if axis_name is not None:
             # Preprocessing (hand sampling, subsampling) must stay replicated
@@ -216,7 +222,7 @@ class Estimator:
         # back to the uncropped cloud: a blinded estimator (n_scene=0,
         # centroid=origin) can neither score honestly nor recapture via
         # explorer particles.
-        roi_center = prev_pose[:3, 3]
+        roi_center = prev_poses[0, :3, 3]
         d2c = jnp.sum((scene.points - roi_center) ** 2, axis=-1)
         roi_w = weights * (d2c < roi_radius * roi_radius)
         weights = jnp.where(jnp.sum(roi_w) >= 32.0, roi_w, weights)
@@ -225,8 +231,17 @@ class Estimator:
         #    random orientations at the observed centroid.
         wsum = jnp.maximum(jnp.sum(weights), 1e-9)
         centroid = jnp.sum(scene.points * weights[:, None], 0) / wsum
+        if n_hyp == 1:
+            priors = prev_poses[0]
+        else:
+            # split the swarm among hypothesis priors: the best basin keeps
+            # ~2/3, the backups share the rest (static assignment)
+            per = max(1, (n_particles // 3) // (n_hyp - 1))
+            counts = [n_particles - per * (n_hyp - 1)] + [per] * (n_hyp - 1)
+            prior_idx = np.repeat(np.arange(n_hyp), counts)
+            priors = prev_poses[prior_idx]                     # [P,4,4]
         tracked = se3.perturb_pose(
-            k_init, prev_pose, rot_sigma, trans_sigma, shape=(n_particles,)
+            k_init, priors, rot_sigma, trans_sigma, shape=(n_particles,)
         )
         kq, kt = jax.random.split(k_init)
         # low-discrepancy SO(3) coverage (randomly offset per call): iid
@@ -325,12 +340,20 @@ class Estimator:
                 cam.fx, cam.fy, cam.cx, cam.cy, cam.height, cam.width,
             ),
         )
+        # competing-basin hypotheses from the fine-tier candidate set
+        # (slot 0 is always the finisher-refined best)
+        hyp_poses, hyp_fitness = pso.diverse_hypotheses(
+            result.cand_poses, result.cand_fitness, n_hyp,
+            first_pose=result.best_pose, first_fitness=result.best_fitness,
+        )
         return FrameResult(
             pose=result.best_pose,
             fitness=result.best_fitness,
             coverage=result.best_coverage,
             fitness_trace=result.fitness_trace,
             n_scene=jnp.sum(weights),
+            hyp_poses=hyp_poses,
+            hyp_fitness=hyp_fitness,
         )
 
     # -- public API ----------------------------------------------------------
@@ -361,8 +384,10 @@ class Estimator:
                 f"depth shape {tuple(depth_m.shape)} != camera "
                 f"({cam.height}, {cam.width}); fix CameraIntrinsics"
             )
-        if tuple(prev_pose.shape) != (4, 4):
-            raise ValueError(f"prev_pose must be [4,4], got {prev_pose.shape}")
+        if tuple(prev_pose.shape)[-2:] != (4, 4) or prev_pose.ndim not in (2, 3):
+            raise ValueError(
+                f"prev_pose must be [4,4] or [n_hyp,4,4], got {prev_pose.shape}"
+            )
         J = self.hand.n_joints if self.hand is not None else 1
         if hand_base is None:
             hand_base = jnp.eye(4)
@@ -439,6 +464,8 @@ class TrackerState(NamedTuple):
     key: jax.Array         # rng key
     initialized: jax.Array  # bool
     fitness: jax.Array     # last frame's fitness
+    hyp_poses: jax.Array | None = None   # [H,4,4] competing basins (H>1)
+    hyp_fitness: jax.Array | None = None  # [H]
 
 
 class TrackResult(NamedTuple):
@@ -447,6 +474,8 @@ class TrackResult(NamedTuple):
     coverage: jax.Array
     reinitialized: bool
     frame_idx: int
+    hyp_poses: jax.Array | None = None   # [H,4,4] when n_hypotheses > 1
+    hyp_fitness: jax.Array | None = None
 
 
 class Tracker:
@@ -486,8 +515,18 @@ class Tracker:
             and bool(st.initialized)
         )
         mode = "init" if need_init else "track"
+        H = self.est.cfg.tracker.n_hypotheses
+        if H > 1 and st.hyp_poses is not None and not need_init:
+            # carry every competing basin forward; slots that never held a
+            # distinct basin (fitness -inf) re-seed from the best pose
+            prev = jnp.where(
+                jnp.isfinite(st.hyp_fitness)[:, None, None],
+                st.hyp_poses, st.pose[None],
+            )
+        else:
+            prev = jnp.tile(st.pose[None], (H, 1, 1)) if H > 1 else st.pose
         out = self.est.estimate(
-            depth_m, st.pose, hand_base, hand_q, key=sub, mode=mode
+            depth_m, prev, hand_base, hand_q, key=sub, mode=mode
         )
         self.state = TrackerState(
             pose=out.pose,
@@ -495,16 +534,26 @@ class Tracker:
             key=key,
             initialized=jnp.asarray(True),
             fitness=out.fitness,
+            hyp_poses=out.hyp_poses if H > 1 else None,
+            hyp_fitness=out.hyp_fitness if H > 1 else None,
         )
         return TrackResult(
             pose=out.pose, fitness=out.fitness, coverage=out.coverage,
             reinitialized=need_init, frame_idx=int(st.frame_idx),
+            hyp_poses=out.hyp_poses if H > 1 else None,
+            hyp_fitness=out.hyp_fitness if H > 1 else None,
         )
 
     # -- checkpoint / resume (SURVEY.md §6) ----------------------------------
 
     def save(self, path: str) -> None:
         st = self.state
+        extra = {}
+        if st.hyp_poses is not None:
+            extra = dict(
+                hyp_poses=np.asarray(st.hyp_poses),
+                hyp_fitness=np.asarray(st.hyp_fitness),
+            )
         np.savez(
             _ckpt_path(path),
             pose=np.asarray(st.pose),
@@ -512,6 +561,7 @@ class Tracker:
             key=np.asarray(jax.random.key_data(st.key)),
             initialized=np.asarray(st.initialized),
             fitness=np.asarray(st.fitness),
+            **extra,
         )
 
     def load(self, path: str) -> None:
@@ -522,4 +572,8 @@ class Tracker:
             key=jax.random.wrap_key_data(jnp.asarray(z["key"])),
             initialized=jnp.asarray(bool(z["initialized"])),
             fitness=jnp.asarray(z["fitness"]),
+            hyp_poses=jnp.asarray(z["hyp_poses"]) if "hyp_poses" in z else None,
+            hyp_fitness=(
+                jnp.asarray(z["hyp_fitness"]) if "hyp_fitness" in z else None
+            ),
         )

@@ -42,6 +42,9 @@ class PsoResult(NamedTuple):
     poses: jax.Array          # [P,4,4] final swarm
     fitness: jax.Array        # [P] final swarm fitness
     fitness_trace: jax.Array  # [iters] best fitness per iteration
+    cand_poses: jax.Array     # [C,4,4] fine-tier polished candidate set
+    cand_fitness: jax.Array   # [C] (cross-shard gathered when sharded)
+    cand_coverage: jax.Array  # [C]
 
 
 def score_particles(
@@ -314,7 +317,14 @@ def pso(
     f_sel = jnp.where(take_pol, f_p, f_c)
     c_sel = jnp.where(take_pol, c_p, c_c)
     p_sel = jnp.where(take_pol[:, None, None], polished, cands)
-    best_pose, best_fit, best_cov = swarm_best(p_sel, f_sel, c_sel)
+    if axis_name is not None:
+        # gather every shard's candidate set so the selection below (and
+        # the multi-hypothesis extraction downstream) sees all basins
+        p_sel = jax.lax.all_gather(p_sel, axis_name).reshape(-1, 4, 4)
+        f_sel = jax.lax.all_gather(f_sel, axis_name).reshape(-1)
+        c_sel = jax.lax.all_gather(c_sel, axis_name).reshape(-1)
+    bi = jnp.argmax(f_sel)
+    best_pose, best_fit, best_cov = p_sel[bi], f_sel[bi], c_sel[bi]
 
     # Score-only annealed finisher: ICP cannot constrain the tangential
     # DOFs of near-flat geometry (any in-face slide is a point-to-plane
@@ -357,4 +367,52 @@ def pso(
     return PsoResult(
         best_pose=best_pose, best_fitness=best_fit, best_coverage=best_cov,
         poses=poses, fitness=fitness, fitness_trace=trace,
+        cand_poses=p_sel, cand_fitness=f_sel, cand_coverage=c_sel,
     )
+
+
+def diverse_hypotheses(
+    cand_poses: jax.Array,     # [C,4,4] fine-tier scored candidates
+    cand_fitness: jax.Array,   # [C]
+    n: int,
+    *,
+    first_pose: jax.Array | None = None,   # [4,4] forced hypothesis 0
+    first_fitness: jax.Array | None = None,
+    rot_min_deg: float = 15.0,
+    trans_min: float = 0.02,
+) -> tuple[jax.Array, jax.Array]:
+    """Greedy farthest-basin selection: n hypotheses from the candidate
+    set, each at least (rot_min_deg OR trans_min) from all earlier picks.
+
+    Multi-hypothesis tracking (Tracker n_hypotheses>1) carries the best
+    pose of each COMPETING basin across frames, so an ambiguity resolved
+    by later evidence (motion exposing an occluded feature) flips to the
+    right basin instantly instead of re-discovering it. When fewer than n
+    distinct basins exist, the remaining slots return fitness -inf (the
+    tracker seeds them from hypothesis 0).
+    """
+    sel_p, sel_f = [], []
+    avail = cand_fitness
+    if first_pose is not None:
+        sel_p.append(first_pose)
+        sel_f.append(first_fitness if first_fitness is not None
+                     else cand_fitness.max())
+        near = _near_pose(cand_poses, first_pose, rot_min_deg, trans_min)
+        avail = jnp.where(near, -jnp.inf, avail)
+    while len(sel_p) < n:
+        i = jnp.argmax(avail)
+        ok = jnp.isfinite(avail[i])
+        p = cand_poses[i]
+        sel_p.append(p)
+        sel_f.append(jnp.where(ok, avail[i], -jnp.inf))
+        near = _near_pose(cand_poses, p, rot_min_deg, trans_min)
+        avail = jnp.where(near, -jnp.inf, avail)
+    return jnp.stack(sel_p), jnp.stack(sel_f)
+
+
+def _near_pose(poses, pose, rot_min_deg, trans_min):
+    """[C] bool: within BOTH rotation and translation radii of `pose`."""
+    cos = (jnp.einsum("cij,ij->c", poses[:, :3, :3], pose[:3, :3]) - 1.0) / 2.0
+    rot_deg = jnp.degrees(jnp.arccos(jnp.clip(cos, -1.0, 1.0)))
+    tr = jnp.linalg.norm(poses[:, :3, 3] - pose[:3, 3], axis=-1)
+    return (rot_deg < rot_min_deg) & (tr < trans_min)

@@ -149,6 +149,7 @@ class LibrarySweep:
                     pose=obj_sharding, fitness=obj_sharding,
                     coverage=obj_sharding, fitness_trace=obj_sharding,
                     n_scene=obj_sharding,
+                    hyp_poses=obj_sharding, hyp_fitness=obj_sharding,
                 ),
             )
         if particle_axis is not None:

@@ -145,6 +145,13 @@ class TrackerConfig:
     reinit_particles: int = 1024
     reinit_rot_sigma: float = 3.2           # ~uniform rotations
     reinit_trans_sigma: float = 0.05
+    n_hypotheses: int = 1                   # competing-basin hypotheses the
+                                            # tracker carries across frames
+                                            # (>1: the swarm splits among
+                                            # them and fine-tier-distinct
+                                            # basins persist; resolves
+                                            # near-symmetry ambiguity as
+                                            # soon as evidence separates)
     reinit_prescreen: int = 4096            # orientations scored ONCE
                                             # (no ICP) before the global
                                             # search; top reinit_particles

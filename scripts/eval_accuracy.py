@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(shape: str, noise: bool, subpixel: bool, frames: int,
-        particles: int, init_gt: bool = False) -> dict:
+        particles: int, init_gt: bool = False, n_hyp: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
@@ -38,10 +38,13 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
 
     cam = CameraIntrinsics(width=640, height=480, fx=570.0, fy=570.0,
                            cx=320.0, cy=240.0)
+    from icra20_hand_object_pose_tpu.utils.config import TrackerConfig
+
     cfg = EstimatorConfig(
         camera=cam, scene_points=2048,
         pso=PsoConfig(particles=particles, iters=10),
         score=ScoreConfig(subpixel=subpixel),
+        tracker=TrackerConfig(n_hypotheses=n_hyp),
     )
     mesh = meshio.make_test_object(shape)
     hand = make_t42_hand()
@@ -82,7 +85,7 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
     dt = time.perf_counter() - t0
     rec = dict(
         shape=shape, noise=noise, subpixel=subpixel, frames=frames,
-        init_gt=init_gt,
+        init_gt=init_gt, n_hyp=n_hyp,
         adds_mm=[round(e * 1000, 3) for e in errs],
         adds_mm_mean=round(float(np.mean(errs)) * 1000, 3),
         adds_mm_tracked_mean=round(float(np.mean(errs[1:])) * 1000, 3),
@@ -106,11 +109,13 @@ def main():
     ap.add_argument("--no-subpixel", action="store_true")
     ap.add_argument("--init-gt", action="store_true",
                     help="first pose given (standard tracking protocol)")
+    ap.add_argument("--hyp", type=int, default=1,
+                    help="tracker hypotheses (competing basins)")
     ap.add_argument("--noise", default="both", choices=["clean", "noisy", "both"])
     a = ap.parse_args()
     noises = {"clean": [False], "noisy": [True], "both": [False, True]}[a.noise]
     for n in noises:
-        run(a.shape, n, not a.no_subpixel, a.frames, a.particles, a.init_gt)
+        run(a.shape, n, not a.no_subpixel, a.frames, a.particles, a.init_gt, a.hyp)
 
 
 if __name__ == "__main__":

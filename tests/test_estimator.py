@@ -216,3 +216,36 @@ def test_explorer_particles_recapture_wrong_basin(setup):
     )
     adds = float(se3.add_s_error(out.pose, T_gt, obj.model_pts))
     assert adds < 0.010, f"stuck in wrong basin: ADD-S {adds*1000:.1f}mm"
+
+
+def test_multi_hypothesis_tracker(tmp_path, setup):
+    """n_hypotheses=2: tracking accuracy holds, hypothesis slots behave
+    (slot 0 = best basin; empty slots -inf), checkpoints round-trip."""
+    cfg = dataclasses.replace(
+        setup["cfg"],
+        tracker=dataclasses.replace(setup["cfg"].tracker, n_hypotheses=2),
+    )
+    mesh = meshio.make_test_object("ellipsoid")
+    obj = ObjectModel(mesh, model_points=256, render_points=512)
+    frames = synthetic.generate_sequence(
+        mesh, setup["hand"],
+        synthetic.SyntheticSequenceConfig(
+            n_frames=2, camera=CAM, noise_sigma=0.0008, dropout=0.01, seed=3,
+        ),
+    )
+    tracker = Tracker(Estimator(obj, setup["hand"], cfg), seed=0)
+    for f in frames:
+        out = tracker.step(
+            jnp.asarray(f.depth), jnp.asarray(f.hand_base), jnp.asarray(f.hand_q)
+        )
+        assert out.hyp_poses.shape == (2, 4, 4)
+        assert np.allclose(np.asarray(out.hyp_poses[0]), np.asarray(out.pose))
+    adds = float(se3.add_s_error(out.pose, jnp.asarray(frames[-1].pose_gt),
+                                 obj.model_pts))
+    assert adds < 0.010
+    p = str(tmp_path / "mh_ckpt")
+    tracker.save(p)
+    t2 = Tracker(Estimator(obj, setup["hand"], cfg))
+    t2.load(p)
+    assert np.allclose(np.asarray(t2.state.hyp_poses),
+                       np.asarray(tracker.state.hyp_poses))

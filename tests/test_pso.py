@@ -125,3 +125,38 @@ def test_pso_no_icp_still_improves():
     add0 = se3.add_error(p["T0"], p["T_gt"], p["model_pts"])
     add1 = se3.add_error(res.best_pose, p["T_gt"], p["model_pts"])
     assert float(add1) < float(add0)
+
+
+def test_diverse_hypotheses_picks_distinct_basins():
+    from icra20_hand_object_pose_tpu.ops.pso import diverse_hypotheses
+    from icra20_hand_object_pose_tpu.utils import se3
+
+    # two clusters of candidates: near identity, and rotated 90deg + 10cm
+    far = np.asarray(se3.se3_exp(jnp.asarray([1.57, 0, 0, 0.1, 0, 0], jnp.float32)))
+    cands = np.tile(np.eye(4, dtype=np.float32), (6, 1, 1))
+    cands[3:] = far
+    # jitter within each cluster (strictly below the 15deg/2cm radii)
+    for i, eps in enumerate([0.0, 0.005, 0.01, 0.0, 0.005, 0.01]):
+        cands[i][:3, 3] += eps
+    fit = jnp.asarray([0.9, 0.8, 0.7, 0.85, 0.6, 0.5])
+    p, f = diverse_hypotheses(jnp.asarray(cands), fit, 3)
+    # pick 1: best overall (identity cluster); pick 2: best of far cluster;
+    # pick 3: exhausted -> -inf
+    assert np.allclose(np.asarray(p[0]), cands[0], atol=1e-6)
+    assert np.allclose(np.asarray(p[1]), cands[3], atol=1e-6)
+    assert float(f[0]) == pytest.approx(0.9)
+    assert float(f[1]) == pytest.approx(0.85)
+    assert not np.isfinite(float(f[2]))
+
+
+def test_diverse_hypotheses_first_pose_forced():
+    from icra20_hand_object_pose_tpu.ops.pso import diverse_hypotheses
+
+    cands = jnp.tile(jnp.eye(4), (4, 1, 1))
+    fit = jnp.asarray([0.5, 0.4, 0.3, 0.2])
+    forced = jnp.eye(4).at[2, 3].set(0.5)   # far from all candidates
+    p, f = diverse_hypotheses(cands, fit, 2, first_pose=forced,
+                              first_fitness=jnp.asarray(0.99))
+    assert np.allclose(np.asarray(p[0]), np.asarray(forced))
+    assert float(f[0]) == pytest.approx(0.99)
+    assert np.allclose(np.asarray(p[1]), np.eye(4))  # best candidate next
