@@ -47,6 +47,46 @@ def add_s_error(T_est: np.ndarray, T_gt: np.ndarray, pts: np.ndarray) -> float:
     return float(np.mean(d))
 
 
+def add_sym_error(
+    T_est: np.ndarray, T_gt: np.ndarray, pts: np.ndarray,
+    symmetries: Sequence[np.ndarray],
+) -> float:
+    """Symmetry-group-aware ADD: min over the object's discrete symmetry
+    transforms S of ADD(T_est, T_gt @ S).
+
+    Exact where ADD-S only bounds: sampled-cloud ADD-S floors at ~half
+    the sample spacing under a symmetry flip (~0.9 mm at 8192 points —
+    measured r2, see make_asym), because the flipped sample set lands
+    BETWEEN the original samples. With the symmetry group given, the
+    flip is removed analytically and plain point-to-point ADD applies.
+    `symmetries` should include the identity.
+    """
+    return min(add_error(T_est, np.asarray(T_gt) @ S, pts) for S in symmetries)
+
+
+def symmetry_group(kind: str) -> list[np.ndarray]:
+    """Discrete rotational symmetries of the procedural test objects
+    (4x4 transforms, identity included). For 'cylinder'/'sphere' the
+    continuous symmetry is not enumerable — use ADD-S there."""
+    def rot(axis, deg):
+        T = np.eye(4)
+        w = np.zeros(3)
+        w[axis] = np.radians(deg)
+        th = np.linalg.norm(w)
+        k = w / th
+        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        T[:3, :3] = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
+        return T
+
+    eye = [np.eye(4)]
+    if kind in ("box", "ellipsoid"):
+        # D2: 180-degree flips about each principal axis
+        return eye + [rot(a, 180.0) for a in range(3)]
+    if kind in ("lbracket", "tee", "mug", "asym"):
+        return eye
+    raise ValueError(f"no discrete symmetry group catalogued for {kind!r}")
+
+
 def rotation_error_deg(T_est: np.ndarray, T_gt: np.ndarray) -> float:
     R = np.asarray(T_est)[:3, :3] @ np.asarray(T_gt)[:3, :3].T
     c = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)

@@ -91,3 +91,30 @@ def test_phase_timer_and_hlo_cost():
 
     cost = profiling.hlo_cost(lambda a: (a @ a.T).sum(), jnp.ones((64, 64)))
     assert isinstance(cost, dict)
+
+
+def test_add_sym_exact_under_symmetry_flip():
+    """ADD-S floors at ~half the sample spacing under a symmetry flip;
+    symmetry-aware ADD is exact (the r2 metric-floor diagnosis)."""
+    import pytest
+
+    from icra20_hand_object_pose_tpu.evaluation import (
+        add_s_error, add_sym_error, symmetry_group,
+    )
+    from icra20_hand_object_pose_tpu.utils import meshio
+
+    mesh = meshio.make_test_object("ellipsoid")
+    pts, _ = mesh.sample_surface(2048, seed=1)
+    T_gt = np.eye(4); T_gt[:3, 3] = [0, 0, 0.5]
+    # estimate = exact 180-deg flip about x (a true symmetry)
+    S = np.eye(4); S[1, 1] = S[2, 2] = -1.0
+    T_est = T_gt @ S
+    adds = add_s_error(T_est, T_gt, pts)
+    sym = add_sym_error(T_est, T_gt, pts, symmetry_group("ellipsoid"))
+    assert adds > 5e-4          # the sampling floor is visible
+    assert sym < 1e-6           # symmetry-aware metric removes it
+    # and a genuinely wrong pose is still measured
+    T_bad = T_gt.copy(); T_bad[:3, 3] += [0.004, 0, 0]
+    assert add_sym_error(T_bad, T_gt, pts, symmetry_group("ellipsoid")) == (
+        pytest.approx(0.004, rel=1e-5)
+    )
