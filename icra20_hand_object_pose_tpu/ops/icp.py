@@ -152,6 +152,7 @@ def icp_batched(
     damping: float = 1e-6,
     step_scale: float = 1.0,
     converge_tol: float = 1e-6,
+    gn_reps: int = 1,
     nn_fn: Callable | None = None,
     corr_fn: Callable | None = None,
 ) -> tuple[jax.Array, IcpStats]:
@@ -198,15 +199,24 @@ def icp_batched(
             d2, scene_normals[None], mnorm, scene_weights[None],
             max_corresp_dist, min_cos,
         )                                                         # [P,Ns]
-        xi, rmse = solve_gn_step(
-            scene_c[None], matched - anchor, mnorm, w, damping
-        )                                                         # [P,6]
-        xi = xi * step_scale
-        step = jnp.sum(xi * xi, axis=-1)                          # [P]
-        new_frozen = frozen | (step < converge_tol * converge_tol)
-        xi = jnp.where(frozen[:, None], 0.0, xi)
-        poses = apply_twists(xi, poses, anchor)
-        return (poses, new_frozen), (rmse, jnp.sum(w, axis=-1))
+        # correspondence reuse: gn_reps damped GN re-linearizations on the
+        # SAME matched pairs (re-posed by each increment) — the NN search
+        # dominates ICP cost, extra GN solves are nearly free (LM-ICP
+        # style inner iterations). Gates (w) stay from the search pose.
+        m_c = matched - anchor                                    # [P,Ns,3]
+        nrm = mnorm
+        for rep in range(gn_reps):
+            xi, rmse = solve_gn_step(scene_c[None], m_c, nrm, w, damping)
+            xi = xi * step_scale
+            step = jnp.sum(xi * xi, axis=-1)                      # [P]
+            frozen = frozen | (step < converge_tol * converge_tol)
+            xi = jnp.where(frozen[:, None], 0.0, xi)
+            poses = apply_twists(xi, poses, anchor)
+            if rep + 1 < gn_reps:
+                E = se3.se3_exp(xi)                               # [P,4,4]
+                m_c = se3.transform_points(E, m_c)
+                nrm = se3.rotate_vectors(E, nrm)
+        return (poses, frozen), (rmse, jnp.sum(w, axis=-1))
 
     (poses, frozen), (rmses, inliers) = jax.lax.scan(
         body, (poses0, jnp.zeros((P,), bool)), None, length=iters

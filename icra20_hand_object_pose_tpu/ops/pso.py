@@ -203,6 +203,7 @@ def pso(
             normal_angle_max_deg=icp_cfg.normal_angle_max_deg,
             damping=icp_cfg.damping,
             step_scale=icp_cfg.step_scale,
+            gn_reps=icp_cfg.gn_reps,
             nn_fn=nn_fn, corr_fn=corr_fn,
         )
         return refined
@@ -309,6 +310,7 @@ def pso(
         normal_angle_max_deg=icp_cfg.normal_angle_max_deg,
         damping=icp_cfg.damping,
         step_scale=icp_cfg.step_scale,
+        gn_reps=icp_cfg.gn_reps,
         nn_fn=nn_fn, corr_fn=corr_fn,
     )
     f_c, c_c = score_fn_hi(cands)

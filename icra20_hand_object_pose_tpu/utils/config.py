@@ -57,6 +57,14 @@ class IcpConfig:
     normal_angle_max_deg: float = 60.0  # reject normal-incompatible pairs
     damping: float = 1e-6               # Levenberg damping on the 6x6 solve
     step_scale: float = 1.0
+    gn_reps: int = 2                    # GN re-linearizations per NN
+                                        # search (correspondence reuse —
+                                        # each rep re-poses the matched
+                                        # pairs by the increment; the NN
+                                        # search dominates ICP cost).
+                                        # A/B r2: (2 searches x 2 reps)
+                                        # beat (3 x 1) on both wall time
+                                        # and tracked ADD
 
 
 @dataclass(frozen=True)
@@ -68,11 +76,13 @@ class PsoConfig:
     trans_sigma: float = 0.015          # meters
     sigma_decay: float = 0.7            # anneal per PSO iteration
     icp_every: int = 1                  # run ICP refine every k PSO iters
-    icp_iters_inner: int = 3            # ICP iters inside each PSO step
-                                        # (A/B r2: 3 beat 5 on both wall
-                                        # time -15% and tracked ADD; the
-                                        # scan repeats the pull every
-                                        # iteration anyway)
+    icp_iters_inner: int = 2            # NN-search ICP iters inside each
+                                        # PSO step (each runs icp.gn_reps
+                                        # GN re-linearizations; A/B r2:
+                                        # 2x2 beat 3x1 and 5x1 on wall
+                                        # time AND tracked ADD — the scan
+                                        # repeats the pull every iteration
+                                        # anyway)
     icp_scene_subset: int = 512         # stochastic inner ICP: scene points
     icp_model_subset: int = 512         # stochastic inner ICP: model points
     elite_frac: float = 0.25            # resample worst particles around best
