@@ -303,20 +303,24 @@ class Estimator:
             global_init = aligned_candidates(
                 kt, se3.super_fibonacci_rotations(n_particles, kq)
             )
-        # explorer particles: even while tracking, part of the swarm
-        # re-runs the global search so a competitively-scoring WRONG basin
-        # (possible under occlusion/near-symmetry) is recaptured as soon
-        # as the true basin scores better — without waiting for the
-        # fitness watchdog to fire. Rows are taken at an even STRIDE of
-        # the super-Fibonacci grid: consecutive spiral rows (s -> 1)
-        # cluster near a circle subgroup of SO(3), so a contiguous tail
-        # would probe nearly one orientation per frame.
+        # explorer seeds: even while tracking, a slice of the global-init
+        # grid re-runs the search each frame so a competitively-scoring
+        # WRONG basin (possible under occlusion/near-symmetry) is
+        # recaptured as soon as the true basin scores better — without
+        # waiting for the fitness watchdog. Refined OUTSIDE the swarm
+        # (ops/pso.py explorer_seeds): in-swarm explorer rows were
+        # recycled by the elite resample before converging. Rows are
+        # taken at an even STRIDE of the super-Fibonacci grid:
+        # consecutive spiral rows (s -> 1) cluster near a circle
+        # subgroup of SO(3). Only in tracked mode (prescreen==0): the
+        # global search IS the broad search already.
         n_explore = int(round(n_particles * self.cfg.pso.explore_frac))
-        if n_explore > 0 and n_particles > n_explore:
+        explorer_seeds = None
+        if n_explore > 0 and n_particles > n_explore and prescreen == 0:
             idx = np.linspace(
                 0, n_particles - 1, n_explore
             ).round().astype(np.int32)
-            tracked = tracked.at[idx].set(global_init[idx])
+            explorer_seeds = global_init[idx]
         poses0 = jnp.where(uniform_rot, global_init, tracked)
 
         # 4. the PSO + ICP + render-and-compare device loop (L4).
@@ -335,6 +339,7 @@ class Estimator:
             splat_radius=1,
             pso_cfg=pso_cfg, icp_cfg=cfg.icp, score_cfg=cfg.score,
             nn_fn=self.nn_fn, corr_fn=self.corr_fn, axis_name=axis_name,
+            explorer_seeds=explorer_seeds,
             observed_hi=(
                 scene.depth_full, scene.valid_full, hd_hi,
                 cam.fx, cam.fy, cam.cx, cam.cy, cam.height, cam.width,

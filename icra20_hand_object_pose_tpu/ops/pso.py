@@ -127,6 +127,13 @@ def pso(
     corr_fn=None,
     axis_name: str | None = None,
     observed_hi: tuple | None = None,
+    explorer_seeds: jax.Array | None = None,  # [E,4,4] global-search seeds
+                       # refined OUTSIDE the swarm (in-swarm explorers get
+                       # recycled by the elite resample before they can
+                       # converge): a dedicated batched mini-ICP + one
+                       # scoring pass, best seed promoted into the
+                       # fine-tier polish candidates — the per-frame
+                       # wrong-basin recovery path
 ) -> PsoResult:
     """Annealed swarm search over SE(3) with in-loop batched ICP refine.
 
@@ -302,6 +309,13 @@ def pso(
         cands = jnp.concatenate([best_pose[None], poses[topi]])  # [K+1,4,4]
     else:
         cands = best_pose[None]
+    if explorer_seeds is not None:
+        refined_seeds = refine(explorer_seeds)  # subset-cloud batched ICP
+        for _ in range(2):                      # a few extra pulls: seeds
+            refined_seeds = refine(refined_seeds)  # start far from basins
+        f_exp, _ = score_fn(refined_seeds)
+        e_best = jnp.argmax(f_exp)
+        cands = jnp.concatenate([cands, refined_seeds[e_best][None]])
     polished, _ = icp_mod.icp_batched(
         cands, scene_pts, scene_normals, scene_weights,
         model_pts, model_normals,
