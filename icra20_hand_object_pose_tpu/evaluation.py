@@ -79,8 +79,19 @@ def symmetry_group(kind: str) -> list[np.ndarray]:
         return T
 
     eye = [np.eye(4)]
-    if kind in ("box", "ellipsoid"):
-        # D2: 180-degree flips about each principal axis
+    if kind == "box":
+        # make_test_object('box') is a SQUARE prism (0.05, 0.05, 0.12):
+        # its proper rotation group is the square-prism group (order 8) —
+        # C4 about z plus 180-degree flips about x, y, and both xy
+        # diagonals (ADVICE r2: D2 alone reported a large ADD for a
+        # correct 90-degree z-flip).
+        group = [rot(2, d) for d in (90.0, 180.0, 270.0)]
+        group += [rot(a, 180.0) for a in range(2)]
+        # diagonal C2 axes (1,+-1,0)/sqrt(2): compose z-rot(+-90) with x-flip
+        group += [rot(2, 90.0) @ rot(0, 180.0), rot(2, -90.0) @ rot(0, 180.0)]
+        return eye + group
+    if kind == "ellipsoid":
+        # distinct semi-axes (0.6, 1.0, 1.4): D2 180-degree flips only
         return eye + [rot(a, 180.0) for a in range(3)]
     if kind in ("lbracket", "tee", "mug", "asym"):
         return eye

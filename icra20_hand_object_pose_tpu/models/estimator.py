@@ -124,14 +124,46 @@ class Estimator:
 
     # -- traced frame program ------------------------------------------------
 
-    def _hand_tensors(self, key, hand_base, hand_q):
+    def _hand_tensors(self, key, hand_base, hand_q, depth_m):
         """Sampled hand clouds -> (full-res drop mask, low-res occluder depth,
-        flat hand cloud for point-level segmentation)."""
+        flat hand cloud for point-level segmentation).
+
+        With hand.config_select > 0 the K sampled finger configs are
+        scored against the observed depth (render-space agreement,
+        models/hand.config_agreement) and only the best-agreeing subset
+        builds the masks — the blind union of all K over-drops object
+        evidence whenever the nominal q is wrong (underactuated hand,
+        no encoders; SURVEY.md §1). Scoring runs on the low-res grid
+        when render_factor > 1 (K extra splats at full VGA would cost
+        tens of ms; min-pool downsampling keeps the same foreground
+        min-z bias direction as the splats, so the comparison stays
+        bias-matched)."""
         cfg = self.cfg
         cam = cfg.camera
         clouds = self.hand.sampled_clouds(
             key, hand_base, hand_q, cfg.hand.joint_sigma, cfg.hand.config_samples
         )                                             # [K,Nh,3]
+        n_sel = cfg.hand.config_select
+        if 0 < n_sel < clouds.shape[0]:
+            dvalid = (depth_m > cfg.depth_min) & (depth_m < cfg.depth_max)
+            if self.render_factor == 1:
+                agree = self.hand.config_agreement(
+                    clouds, depth_m, dvalid,
+                    fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                    height=cam.height, width=cam.width,
+                )
+            else:
+                d_lo, v_lo = preprocess.downsample_depth(
+                    depth_m, dvalid, self.render_factor
+                )
+                agree = self.hand.config_agreement(
+                    clouds, d_lo, v_lo,
+                    fx=self.lo_fx, fy=self.lo_fy,
+                    cx=self.lo_cx, cy=self.lo_cy,
+                    height=self.lo_h, width=self.lo_w,
+                )
+            _, top = jax.lax.top_k(agree, n_sel)
+            clouds = clouds[top]
         flat = clouds.reshape(-1, 3)
         w = jnp.ones(flat.shape[0], flat.dtype)
         # Full-res hand depth: classifies pixels (hand itself, or behind a
@@ -190,7 +222,9 @@ class Estimator:
 
         # 1. hand: FK under actuation uncertainty -> masks (SURVEY.md §2 L3).
         if self.hand is not None:
-            hd_full, hd_lo, hand_flat = self._hand_tensors(k_hand, hand_base, hand_q)
+            hd_full, hd_lo, hand_flat = self._hand_tensors(
+                k_hand, hand_base, hand_q, depth_m
+            )
             seg = cfg.hand.segment_dist
             # drop pixels on or behind the rendered hand
             extra_invalid = jnp.isfinite(hd_full) & (depth_m > hd_full - seg)
@@ -208,6 +242,8 @@ class Estimator:
             depth_min=cfg.depth_min, depth_max=cfg.depth_max,
             n_points=cfg.scene_points, render_factor=self.render_factor,
             extra_invalid=extra_invalid,
+            outlier_tau=cfg.outlier_tau,
+            outlier_min_neighbors=cfg.outlier_min_neighbors,
         )
         weights = scene.weights
         # exact point-level hand removal on the subsampled cloud (MXU
@@ -426,6 +462,21 @@ class Estimator:
             args["prescreen"] = tr.reinit_prescreen
         else:
             raise ValueError(f"unknown mode {mode!r}")
+        # multi-hypothesis swarm split needs >= 1 particle per prior on
+        # every shard (counts[0] in _frame_step would go non-positive and
+        # np.repeat fails at trace time with an opaque error — ADVICE r2)
+        n_hyp = prev_pose.shape[0] if prev_pose.ndim == 3 else 1
+        per_shard = args["n_particles"] // (
+            self.mesh.size if self.mesh is not None else 1
+        )
+        if n_hyp > 1 and per_shard < 2 * n_hyp:
+            raise ValueError(
+                f"{n_hyp} hypothesis priors need at least {2 * n_hyp} "
+                f"particles per shard; got {per_shard} "
+                f"(n_particles={args['n_particles']}"
+                + (f" over {self.mesh.size} shards)" if self.mesh is not None
+                   else ")")
+            )
         dyn = (
             key, depth_m, prev_pose, hand_base, hand_q,
             (self.obj.model_pts, self.obj.model_normals,

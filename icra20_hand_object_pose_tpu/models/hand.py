@@ -120,6 +120,72 @@ class HandModel:
         qs = jnp.clip(q_nominal[None] + noise, 0.0, jnp.pi)
         return jax.vmap(lambda q: self.cloud(base_pose, q))(qs)
 
+    # -- observation-driven configuration weighting ---------------------------
+
+    @staticmethod
+    def config_agreement(
+        clouds: jax.Array,        # [K,Nh,3] sampled configs, camera frame
+        depth: jax.Array,         # [H,W] observed depth (meters)
+        valid: jax.Array,         # [H,W] bool
+        *,
+        fx: float, fy: float, cx: float, cy: float,
+        height: int, width: int,
+        tau: float = 0.008,
+        radius: int = 3,
+    ) -> jax.Array:
+        """[K] observed-depth agreement score per sampled finger config.
+
+        The hand is underactuated — no reliable encoders (SURVEY.md §1) —
+        so the nominal q may be wrong. Each sampled config is scored in
+        RENDER space: the config's cloud is splat to a depth image and
+        compared pixelwise to the observed depth. Per rendered pixel:
+        a continuous match kernel (1 - |r - d|/tau) supports the config,
+        rendering IN FRONT of a measured surface (r < d - tau)
+        contradicts it (the camera would have seen that finger there),
+        rendering over a NO-RETURN pixel is a milder ghost penalty;
+        pixels behind the observed surface are neutral (plausibly
+        occluded). Normalized by the config's rendered-pixel count.
+
+        Render space rather than point space because both sides must
+        carry the SAME surface representation: scoring raw surface
+        points against a splat/sensor depth inherits the splat's min-z
+        closer-bias, which a slightly-displaced wrong config can
+        accidentally compensate (measured: +0.3 rad-wrong configs
+        out-scored truth point-wise at 160x120). `radius` must be large
+        enough that the sparse link clouds splat to contiguous
+        footprints; 3 is robust for the 128-256 points-per-link range.
+        """
+        obs = jnp.where(valid, depth, jnp.inf)
+
+        def splat(pts):
+            return render.splat_depth(
+                pts, jnp.ones(pts.shape[0], pts.dtype),
+                fx=fx, fy=fy, cx=cx, cy=cy,
+                height=height, width=width, radius=radius,
+            )
+
+        rend = jax.vmap(splat)(clouds)                # [K,H,W], +inf empty
+        r_valid = jnp.isfinite(rend)
+        both = r_valid & jnp.isfinite(obs)[None]
+        dt = clouds.dtype
+        # mask operands BEFORE subtracting: inf - inf on a non-`both`
+        # pixel would make a (masked, but jax_debug_nans-tripping) NaN
+        diff = jnp.where(
+            both,
+            jnp.where(r_valid, rend, 0.0) - jnp.where(
+                jnp.isfinite(obs), obs, 0.0)[None],
+            jnp.inf,
+        )
+        support = jnp.clip(1.0 - jnp.abs(diff) / tau, 0.0, 1.0)
+        front = (both & (diff < -tau)).astype(dt)
+        ghost = (r_valid & ~jnp.isfinite(obs)[None]).astype(dt)
+        n = jnp.maximum(jnp.sum(r_valid.astype(dt), (1, 2)), 1.0)
+        return (
+            jnp.sum(support, (1, 2))
+            - jnp.sum(front, (1, 2))
+            - 0.5 * jnp.sum(ghost, (1, 2))
+        ) / n
+
     # -- segmentation -------------------------------------------------------
 
     def segment_mask(

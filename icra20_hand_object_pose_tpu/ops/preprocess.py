@@ -43,6 +43,36 @@ class SceneCloud(NamedTuple):
     valid_full: jax.Array
 
 
+def speckle_mask(
+    depth: jax.Array, valid: jax.Array, *, tau: float, min_neighbors: int
+) -> jax.Array:
+    """Statistical outlier removal, grid-shaped (SURVEY.md §2 L2: the
+    reference runs PCL outlier removal on the unorganized cloud; the
+    TPU-native equivalent exploits the image grid instead of a KD-tree).
+
+    A valid pixel survives only if >= min_neighbors of its 8-neighborhood
+    are valid AND within `tau` meters of it — isolated depth speckle
+    ("flying pixels" at silhouette edges, shot noise) has no coherent
+    neighborhood and is dropped; real surfaces (even one pixel from an
+    edge) keep 3-5 coherent neighbors. Pure shifted elementwise compares:
+    no sort, no scatter/gather, fuses into the preprocessing program.
+    """
+    # large FINITE sentinel: inf-inf would make NaNs that trip the
+    # jax_debug_nans CI guard (tests/test_debug_guards.py)
+    big = jnp.asarray(1e9, depth.dtype)
+    d = jnp.where(valid, depth, big)
+    dp = jnp.pad(d, 1, constant_values=1e9)
+    H, W = depth.shape
+    count = jnp.zeros(depth.shape, jnp.int32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            n = jax.lax.dynamic_slice(dp, (1 + dy, 1 + dx), (H, W))
+            count = count + (jnp.abs(n - d) < tau).astype(jnp.int32)
+    return valid & (count >= min_neighbors)
+
+
 def downsample_depth(depth: jax.Array, valid: jax.Array, factor: int) -> tuple[jax.Array, jax.Array]:
     """Min-pool depth by `factor` (foreground-preserving), propagate validity."""
     if factor == 1:
@@ -99,15 +129,24 @@ def preprocess_frame(
     n_points: int,
     render_factor: int = 1,
     extra_invalid: jax.Array | None = None,
+    outlier_tau: float = 0.0,
+    outlier_min_neighbors: int = 2,
 ) -> SceneCloud:
     """depth (meters, [H,W]) -> SceneCloud. One fused XLA program.
 
     `extra_invalid` [H,W] bool marks pixels to drop (e.g. rendered hand
     mask from segmentation — applied by the estimator after hand FK).
+    `outlier_tau` > 0 enables grid statistical outlier removal
+    (speckle_mask) before normals/subsampling.
     """
     valid = (depth_m > depth_min) & (depth_m < depth_max) & jnp.isfinite(depth_m)
     if extra_invalid is not None:
         valid = valid & (~extra_invalid)
+    if outlier_tau > 0.0:
+        valid = speckle_mask(
+            depth_m, valid, tau=outlier_tau,
+            min_neighbors=outlier_min_neighbors,
+        )
     depth_c = jnp.where(valid, depth_m, 0.0)
     cloud = camera.backproject(depth_c, fx, fy, cx, cy)
     normals = camera.grid_normals(cloud, valid)

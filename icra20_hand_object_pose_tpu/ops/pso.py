@@ -97,6 +97,7 @@ def score_particles(
             occlusion_margin=score_cfg.occlusion_margin,
             invalid_penalty=score_cfg.invalid_penalty,
             ghost_dilate=score_cfg.ghost_dilate,
+            observed_enc=observed_enc,
         )
     fitness = terms.fitness + score_cfg.coverage_weight * terms.coverage
     return fitness, terms.coverage
@@ -349,18 +350,40 @@ def pso(
     # from the (sharp, correctly-peaked) fitness optimum. This stage
     # climbs the score directly: the whole swarm re-samples tightly
     # around the incumbent best with millimeter sigmas, no ICP. Monotone
-    # in best_fit by construction.
+    # in best_fit by construction. Under sharding the perturbation keys
+    # are shard-unique (an effective Pf * n_shards finisher swarm) but
+    # the result stays bitwise-replicated: swarm_best all_gathers the
+    # per-shard champions every iteration, so every shard applies the
+    # same argmax (pinned by test_sharded_outputs_bitwise_replicated).
     if pso_cfg.finish_iters > 0:
         fs0 = pso_cfg.finish_sigma_frac
-        Pf = max(2, min(P, pso_cfg.finish_particles))
+        # clamp to 4x the (per-shard) swarm: the finisher batch is
+        # independent of the swarm, but tiny test swarms should not pay
+        # a production-size finisher (production: P=512 -> uncapped)
+        Pf = max(2, min(pso_cfg.finish_particles, 4 * P))
+        # Sigma LADDER: each iteration's batch spans finish_sigma_rungs
+        # anneal scales simultaneously (particle i at sigma_decay^(i%R)),
+        # instead of one scale per iteration. The frame program is
+        # latency-bound, not FLOP-bound (bench roofline: MFU ~0.04%), so
+        # the same number of fine-tier score evaluations costs ~3x less
+        # wall time as 4 large sequential ops than as 12 small ones —
+        # and the finest rung is present from iteration 1. Per-iteration
+        # sig decays by sigma_decay^finish_sigma_rungs so the schedule
+        # still reaches the same finest scale overall.
+        R = max(1, pso_cfg.finish_sigma_rungs)
+        ladder = jnp.power(
+            jnp.asarray(pso_cfg.sigma_decay, poses0.dtype),
+            jnp.arange(Pf, dtype=poses0.dtype) % R,
+        )[:, None]
+        iter_decay = pso_cfg.sigma_decay ** R
 
         def fbody(carry, _):
             best_pose, best_fit, best_cov, sig, k = carry
             k, kp = jax.random.split(k)
             cand = se3.perturb_pose(
                 kp, best_pose,
-                pso_cfg.rot_sigma * fs0 * sig,
-                pso_cfg.trans_sigma * fs0 * sig,
+                pso_cfg.rot_sigma * fs0 * sig * ladder,
+                pso_cfg.trans_sigma * fs0 * sig * ladder,
                 shape=(Pf,),
             )
             cand = cand.at[0].set(best_pose)
@@ -371,7 +394,7 @@ def pso(
             best_fit = jnp.where(improved, bf, best_fit)
             best_cov = jnp.where(improved, bc, best_cov)
             return (best_pose, best_fit, best_cov,
-                    sig * pso_cfg.sigma_decay, k), None
+                    sig * iter_decay, k), None
 
         (best_pose, best_fit, best_cov, _, _), _ = jax.lax.scan(
             fbody,

@@ -88,11 +88,15 @@ def compare_depth(
     occlusion_margin: float = 0.005,
     invalid_penalty: float = 0.3,
     ghost_dilate: int = 1,
+    observed_enc: jax.Array | None = None,
 ) -> ScoreTerms:
     """Score rendered depth(s) against one observed frame. Broadcasts over
     leading particle axes of `rendered`. `ghost_dilate`: rendered pixels
     within that many px of a valid return are not ghosts (silhouette
-    tolerance — see compare_points)."""
+    tolerance — see compare_points). `observed_enc` (encode_observed
+    output) carries the dilation precomputed, so pixel-mode scoring
+    inside the PSO scan does not re-evaluate the loop-invariant
+    reduce_window every iteration (ADVICE r2)."""
     r_valid = jnp.isfinite(rendered)
     if hand_depth is not None:
         occluded = hand_depth[None] < (rendered - occlusion_margin) if rendered.ndim == 3 else (
@@ -109,13 +113,16 @@ def compare_depth(
     counted_px = visible & observed_valid
     match = counted_px & (absdiff < depth_tau)
     wrong = counted_px & (diff < -depth_tau)      # floats in front of evidence
-    not_near = ~observed_valid
-    if ghost_dilate > 0:
-        k = 2 * ghost_dilate + 1
-        not_near = ~jax.lax.reduce_window(
-            observed_valid, False, jax.lax.bitwise_or,
-            window_dimensions=(k, k), window_strides=(1, 1), padding="SAME",
-        )
+    if observed_enc is not None:
+        not_near = observed_enc >= 0.5 * _FAR
+    else:
+        not_near = ~observed_valid
+        if ghost_dilate > 0:
+            k = 2 * ghost_dilate + 1
+            not_near = ~jax.lax.reduce_window(
+                observed_valid, False, jax.lax.bitwise_or,
+                window_dimensions=(k, k), window_strides=(1, 1), padding="SAME",
+            )
     ghost = visible & (~observed_valid) & not_near  # renders over no-return
 
     support_px = jnp.where(match, 1.0 - absdiff / depth_tau, 0.0)

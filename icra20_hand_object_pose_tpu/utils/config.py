@@ -110,9 +110,19 @@ class PsoConfig:
     scan_render_subset: int = 512       # scoring samples for the coarse
                                         # basin-search tier (full set is
                                         # used at the fine tier)
-    finish_iters: int = 12              # score-only annealed finisher stage
-    finish_particles: int = 128         # finisher swarm size (per shard)
+    finish_iters: int = 3               # score-only annealed finisher stage
+    finish_particles: int = 512         # finisher batch size (per shard)
     finish_sigma_frac: float = 0.15     # finisher start sigma (x rot/trans)
+    finish_sigma_rungs: int = 4         # sigma scales per finisher batch:
+                                        # particle i perturbs at
+                                        # sigma_decay^(i%rungs); with
+                                        # iters=3 x rungs=4 the ladder
+                                        # covers the same 12 anneal scales
+                                        # the old 12-iteration finisher
+                                        # walked, in 3 large ops instead
+                                        # of 12 small ones (the frame is
+                                        # latency-bound: r2 finisher was
+                                        # 37 ms of a 107 ms frame)
 
 
 @dataclass(frozen=True)
@@ -140,6 +150,15 @@ class HandConfig:
     """Hand segmentation / occlusion parameters (SURVEY.md §3 L3)."""
     segment_dist: float = 0.008         # meters; point-to-hand distance removal
     config_samples: int = 8             # sampled finger configurations
+    config_select: int = 3              # keep the config_select sampled
+                                        # configs that best agree with the
+                                        # observed depth (projective score,
+                                        # models/hand.config_agreement)
+                                        # when building the drop/occluder
+                                        # masks; 0 = blind union of all
+                                        # samples (conservative: a wrong
+                                        # nominal q silently over-drops
+                                        # object evidence — VERDICT r2)
     joint_sigma: float = 0.12           # radians; actuation uncertainty
     enabled: bool = True
     spec: str = "t42"                   # "t42" | "model_o" (procedural
@@ -188,6 +207,12 @@ class EstimatorConfig:
                                         # (two-tier, ops/pso.py)
     depth_min: float = 0.1              # meters; valid depth gate
     depth_max: float = 2.0
+    outlier_tau: float = 0.02           # grid statistical outlier removal
+                                        # (ops/preprocess.speckle_mask):
+                                        # pixels with < outlier_min_neighbors
+                                        # 8-neighbors within tau meters are
+                                        # dropped as speckle. 0 disables.
+    outlier_min_neighbors: int = 2
     dtype: str = "float32"
 
 

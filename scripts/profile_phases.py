@@ -75,7 +75,7 @@ def main():
     # isolated sub-programs
     hand_jit = jax.jit(est._hand_tensors)
     results["hand_tensors"] = timed(
-        hand_jit, jax.random.key(0), hbj, hqj)
+        hand_jit, jax.random.key(0), hbj, hqj, depth)
 
     from icra20_hand_object_pose_tpu.ops import preprocess
     pre_jit = jax.jit(lambda k, d: preprocess.preprocess_frame(

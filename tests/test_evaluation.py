@@ -118,3 +118,29 @@ def test_add_sym_exact_under_symmetry_flip():
     assert add_sym_error(T_bad, T_gt, pts, symmetry_group("ellipsoid")) == (
         pytest.approx(0.004, rel=1e-5)
     )
+
+
+def test_box_symmetry_group_is_true_symmetry_set():
+    """Every catalogued box symmetry must map the square-prism vertex set
+    to itself (ADVICE r2: the test box has a square cross-section, so C4
+    z-rotations are true symmetries D2 alone missed), and the group must
+    remove the metric artifact for a correct 90-degree z-flip."""
+    from scipy.spatial import cKDTree
+
+    from icra20_hand_object_pose_tpu.evaluation import (
+        add_sym_error, symmetry_group,
+    )
+    from icra20_hand_object_pose_tpu.utils import meshio
+
+    mesh = meshio.make_test_object("box")
+    group = symmetry_group("box")
+    assert len(group) == 8  # square-prism proper rotation group
+    for S in group:
+        v = mesh.vertices @ S[:3, :3].T + S[:3, 3]
+        d, _ = cKDTree(mesh.vertices).query(v, k=1)
+        assert d.max() < 1e-6, "catalogued transform is not a symmetry"
+    # a correct 90-degree z-rotation estimate must read ~0 error
+    Rz90 = group[1]
+    T_gt = np.eye(4); T_gt[:3, 3] = [0, 0, 0.5]
+    pts, _ = mesh.sample_surface(2048, seed=2)
+    assert add_sym_error(T_gt @ Rz90, T_gt, pts, group) < 1e-6

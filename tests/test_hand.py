@@ -167,3 +167,88 @@ def test_hand_spec_mesh_file_and_errors(tmp_path):
         yaml.safe_dump(bad2, f)
     with pytest.raises(ValueError, match="out of range"):
         load_hand_spec(p)
+
+
+def test_config_agreement_ranks_true_config_first():
+    """Observation-driven finger-config scoring (SURVEY.md §1: the hand
+    is underactuated, q is uncertain): the config that actually produced
+    the observed depth must out-score a 0.3 rad-wrong one."""
+    from icra20_hand_object_pose_tpu.datasets import (
+        default_object_pose, hand_base_for_grasp, render_frame_fast,
+    )
+    from icra20_hand_object_pose_tpu.utils import meshio
+    from icra20_hand_object_pose_tpu.utils.config import CameraIntrinsics
+
+    cam = CameraIntrinsics(width=160, height=120, fx=140.0, fy=140.0,
+                           cx=80.0, cy=60.0)
+    hand = make_t42_hand(points_per_link=128)
+    mesh = meshio.make_test_object("box")
+    pose = default_object_pose()
+    hb = hand_base_for_grasp(pose)
+    q_true = np.asarray([0.45, 0.45], np.float32)
+    depth = jnp.asarray(render_frame_fast(mesh, pose, hand, hb, q_true, cam))
+    valid = depth > 0
+
+    hbj = jnp.asarray(hb)
+    qs = [q_true, q_true + 0.3, q_true - 0.3, q_true + 0.15]
+    clouds = jnp.stack([hand.cloud(hbj, jnp.asarray(q)) for q in qs])
+    scores = np.asarray(hand.config_agreement(
+        clouds, depth, valid, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+        height=cam.height, width=cam.width,
+    ))
+    assert int(np.argmax(scores)) == 0, scores
+    assert scores[0] > scores[1] + 0.1, scores
+
+
+def test_config_select_recovers_evidence_under_wrong_nominal_q():
+    """VERDICT r2 item 5: a deliberately wrong nominal hand_q (+0.3 rad)
+    makes the blind union mask eat object evidence; observation-driven
+    selection must keep more scene points AND track at least as well."""
+    import dataclasses
+
+    from icra20_hand_object_pose_tpu.datasets import (
+        default_object_pose, hand_base_for_grasp, render_frame_fast,
+    )
+    from icra20_hand_object_pose_tpu.evaluation import add_s_error
+    from icra20_hand_object_pose_tpu.models import Estimator, ObjectModel
+    from icra20_hand_object_pose_tpu.utils import meshio
+    from icra20_hand_object_pose_tpu.utils.config import (
+        CameraIntrinsics, EstimatorConfig, HandConfig, PsoConfig,
+    )
+
+    cam = CameraIntrinsics(width=160, height=120, fx=140.0, fy=140.0,
+                           cx=80.0, cy=60.0)
+    hand = make_t42_hand(points_per_link=128)
+    mesh = meshio.make_test_object("box")
+    obj = ObjectModel(mesh, model_points=512, render_points=1024)
+    pose = default_object_pose()
+    hb = hand_base_for_grasp(pose)
+    q_true = np.asarray([0.45, 0.45], np.float32)
+    q_wrong = q_true + 0.3              # nominal LIES (no encoders)
+    depth = jnp.asarray(render_frame_fast(mesh, pose, hand, hb, q_true, cam))
+
+    base = EstimatorConfig(
+        camera=cam, scene_points=1024, render_size=60,
+        pso=PsoConfig(particles=64, iters=4),
+        hand=HandConfig(config_samples=16, joint_sigma=0.2, config_select=0),
+    )
+    results = {}
+    for sel in (0, 3):
+        cfg = dataclasses.replace(
+            base, hand=dataclasses.replace(base.hand, config_select=sel))
+        est = Estimator(obj, hand, cfg)
+        out = est.estimate(depth, jnp.asarray(pose), jnp.asarray(hb),
+                           jnp.asarray(q_wrong), key=jax.random.key(0))
+        results[sel] = (float(out.n_scene),
+                        add_s_error(np.asarray(out.pose), pose,
+                                    obj.model_pts))
+    n_union, e_union = results[0]
+    n_sel, e_sel = results[3]
+    # selection must recover object evidence the union threw away
+    # (measured across 5 estimator keys: union pins at 381 points,
+    # selection 387-428 — the grasp-contact region is small at this
+    # viewpoint, so the margin is consistent but modest)
+    assert n_sel >= n_union + 5, results
+    # and tracking must not get worse (both start at GT here; per-seed
+    # PSO noise at this tiny 64-particle config is ~2-6 mm either way)
+    assert e_sel < max(1.5 * e_union, 0.006), results

@@ -113,3 +113,52 @@ def test_preprocess_jits():
     )
     sc = f(jax.random.key(0), depth)
     assert sc.points.shape == (512, 3)
+
+
+def test_speckle_mask_removes_isolated_outliers():
+    """Grid statistical outlier removal (SURVEY.md §2 L2): isolated
+    flying pixels are dropped, coherent surfaces (incl. their edge
+    pixels) survive."""
+    import jax.numpy as jnp
+
+    from icra20_hand_object_pose_tpu.ops.preprocess import speckle_mask
+
+    H, W = 32, 32
+    depth = np.zeros((H, W), np.float32)
+    depth[8:24, 8:24] = 0.5                  # a coherent plane patch
+    depth[2, 2] = 0.5                        # isolated speckle (valid, alone)
+    depth[16, 16] = 0.9                      # flying pixel inside the patch
+    valid = depth > 0
+    kept = np.asarray(speckle_mask(
+        jnp.asarray(depth), jnp.asarray(valid), tau=0.02, min_neighbors=2))
+    assert not kept[2, 2], "isolated speckle must be removed"
+    assert not kept[16, 16], "flying pixel must be removed"
+    assert kept[8, 8] and kept[8, 23] and kept[15, 15], \
+        "plane interior and edges must survive"
+    # everything kept was valid to begin with
+    assert not np.any(kept & ~valid)
+
+
+def test_preprocess_frame_outlier_gate():
+    """outlier_tau > 0 drops speckle before subsampling; 0 keeps it."""
+    import jax
+    import jax.numpy as jnp
+
+    from icra20_hand_object_pose_tpu.ops.preprocess import preprocess_frame
+
+    H, W = 48, 64
+    depth = np.zeros((H, W), np.float32)
+    depth[16:36, 20:48] = 0.5
+    # a cluster of isolated flying pixels far in front
+    for i, (r, c) in enumerate([(4, 4), (4, 10), (10, 4), (40, 55)]):
+        depth[r, c] = 0.3
+    kw = dict(fx=58.0, fy=58.0, cx=32.0, cy=24.0, depth_min=0.1,
+              depth_max=2.0, n_points=256, render_factor=1)
+    key = jax.random.key(0)
+    sc_off = preprocess_frame(key, jnp.asarray(depth), outlier_tau=0.0, **kw)
+    sc_on = preprocess_frame(key, jnp.asarray(depth), outlier_tau=0.02, **kw)
+    # with the gate on, no subsampled point sits at the speckle depth
+    z_on = np.asarray(sc_on.points)[np.asarray(sc_on.weights) > 0][:, 2]
+    assert np.all(np.abs(z_on - 0.5) < 0.05)
+    assert not np.asarray(sc_on.valid_full)[4, 4]
+    assert np.asarray(sc_off.valid_full)[4, 4]

@@ -103,6 +103,63 @@ def test_sweep_rejects_mismatched_objects(tiny):
         LibrarySweep([obj, other], hand, cfg)
 
 
+def test_sharded_outputs_bitwise_replicated(tiny):
+    """The whole sharded frame step — polish, finisher, hypothesis
+    extraction — must be bitwise-replicated across shards (out_specs
+    declares P() with check_vma=False, so divergence would be silent).
+    ADVICE r2 suspected the score-only finisher diverges (shard-unique
+    perturbation keys); it does not: swarm_best all_gathers the
+    per-shard champions every finisher iteration, so every shard sees
+    the same argmax. This test pins that invariant."""
+    import functools
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    cfg, obj, hand, frame = tiny
+    mesh8 = make_mesh(8, "p")
+    est = Estimator(obj, hand, cfg, mesh=mesh8, axis_name="p")
+    dyn, static = est.frame_args(
+        jnp.asarray(frame.depth), jnp.asarray(frame.pose_gt),
+        jnp.asarray(frame.hand_base), jnp.asarray(frame.hand_q),
+        key=jax.random.key(3), mode="track",
+    )
+    fn = functools.partial(
+        est._frame_step,
+        n_particles=static["n_particles"] // mesh8.size,
+        pso_iters=static["pso_iters"],
+        resample_after=static["resample_after"],
+        prescreen=static["prescreen"],
+    )
+
+    def probe(*args):
+        out = fn(*args)
+        return (jax.lax.all_gather(out.pose, "p"),
+                jax.lax.all_gather(out.fitness, "p"),
+                jax.lax.all_gather(out.hyp_poses, "p"))
+
+    sm = shard_map(probe, mesh=mesh8, in_specs=(P(),) * 10, out_specs=P(),
+                   check_vma=False)
+    poses, fits, hyps = jax.jit(sm)(*dyn)
+    assert float(jnp.abs(poses - poses[0]).max()) == 0.0
+    assert float(jnp.abs(fits - fits[0]).max()) == 0.0
+    assert float(jnp.abs(hyps - hyps[0]).max()) == 0.0
+
+
+def test_multi_hypothesis_count_validated(tiny):
+    """Too many hypothesis priors for the per-shard swarm must raise a
+    clear error at the API boundary, not an opaque trace-time repeat
+    failure (ADVICE r2)."""
+    cfg, obj, hand, frame = tiny
+    est = Estimator(obj, hand, cfg, mesh=make_mesh(8, "p"))
+    prev = jnp.tile(jnp.asarray(frame.pose_gt)[None], (4, 1, 1))
+    # 16 particles / 8 shards = 2 per shard < 2 * 4 hypotheses
+    with pytest.raises(ValueError, match="hypothesis priors"):
+        est.estimate(
+            jnp.asarray(frame.depth), prev,
+            jnp.asarray(frame.hand_base), jnp.asarray(frame.hand_q),
+        )
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
     fn, args = ge.entry()
