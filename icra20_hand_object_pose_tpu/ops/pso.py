@@ -62,6 +62,7 @@ def score_particles(
     score_cfg: ScoreConfig,
     subpixel: bool = False,
     observed_enc: jax.Array | None = None,  # precomputed encode_observed
+    mxu_tables: tuple | None = None,        # pre-split MXU gather tables
 ) -> tuple[jax.Array, jax.Array]:
     """Render-and-compare fitness for every particle. Returns
     (fitness [P], coverage [P]).
@@ -84,6 +85,7 @@ def score_particles(
             subpixel=subpixel,
             ghost_dilate=score_cfg.ghost_dilate,
             observed_enc=observed_enc,
+            mxu_tables=mxu_tables,
         )
     else:
         depths = render.splat_depth_batched(
@@ -165,6 +167,23 @@ def pso(
     enc_lo = score.encode_observed(
         observed_depth, observed_valid, score_cfg.ghost_dilate
     )
+    # MXU gather tables (separable one-hot lookups, ops/gather_mxu):
+    # split the encoded-observed and hand images into double-bf16 pairs
+    # ONCE per tier, outside the scans. Hand +inf (no hand there) must
+    # become a large finite sentinel before splitting: split_bf16(inf)
+    # would produce inf - inf = NaN (jax_debug_nans CI guard).
+    use_mxu = score_cfg.gather_mode == "mxu" and score_cfg.mode == "point"
+    if use_mxu:
+        from . import gather_mxu
+
+        def hand_tables(hd):
+            sent = jnp.where(jnp.isfinite(hd), hd, score._FAR)
+            return gather_mxu.split_bf16(sent)
+
+        mxu_lo = ("image", *gather_mxu.split_bf16(enc_lo),
+                  *hand_tables(hand_depth))
+    else:
+        mxu_lo = None
     score_fn = partial(
         score_particles,
         render_pts=render_pts[:kr], render_normals=render_normals[:kr],
@@ -174,6 +193,7 @@ def pso(
         fx=fx, fy=fy, cx=cx, cy=cy, height=height, width=width,
         splat_radius=splat_radius, score_cfg=score_cfg,
         observed_enc=enc_lo,
+        mxu_tables=mxu_lo,
     )
     if observed_hi is not None:
         (d_hi, v_hi, h_hi, fx_h, fy_h, cx_h, cy_h, hh, wh) = observed_hi
@@ -361,6 +381,43 @@ def pso(
         # independent of the swarm, but tiny test swarms should not pay
         # a production-size finisher (production: P=512 -> uncapped)
         Pf = max(2, min(pso_cfg.finish_particles, 4 * P))
+
+        score_fn_fin = score_fn_hi
+        if use_mxu and observed_hi is not None:
+            # Per-point patch MXU tables (gather_mxu.take_patch_corners):
+            # the finisher perturbs by millimeters around best_pose, so
+            # each render sample's projection stays within a few px of
+            # its reference projection for the whole finisher — extract
+            # one [Nr,S,S] patch pair per table around the REFERENCE
+            # projections and every in-scan lookup becomes a [*,S]@[S,S]
+            # one-hot matmul. This was the single hottest spot of the r2
+            # frame (fine-tier gathers: ~12 ms/finisher-iteration).
+            S = pso_cfg.finish_patch
+            ref = se3.transform_points(best_pose, render_pts)    # [Nr,3]
+            zr = jnp.maximum(ref[..., 2], 1e-6)
+            ur = jnp.round(ref[..., 0] / zr * fx_h + cx_h).astype(jnp.int32)
+            vr = jnp.round(ref[..., 1] / zr * fy_h + cy_h).astype(jnp.int32)
+            pu0 = jnp.clip(ur - S // 2, 0, wh - S)
+            pv0 = jnp.clip(vr - S // 2, 0, hh - S)
+            e_hi, e_lo = gather_mxu.split_bf16(enc_hi)
+            h_sent = jnp.where(jnp.isfinite(h_hi), h_hi, score._FAR)
+            g_hi, g_lo = gather_mxu.split_bf16(h_sent)
+            patches = tuple(
+                gather_mxu.extract_patches(t, pv0, pu0, S)
+                for t in (e_hi, e_lo, g_hi, g_lo)
+            )
+            mxu_fin = ("patch", *patches, pv0, pu0)
+            score_fn_fin = partial(
+                score_particles,
+                render_pts=render_pts, render_normals=render_normals,
+                render_w=render_w,
+                observed_depth=d_hi, observed_valid=v_hi, hand_depth=h_hi,
+                fx=fx_h, fy=fy_h, cx=cx_h, cy=cy_h, height=hh, width=wh,
+                splat_radius=splat_radius, score_cfg=score_cfg,
+                subpixel=score_cfg.subpixel,
+                observed_enc=enc_hi,
+                mxu_tables=mxu_fin,
+            )
         # Sigma LADDER: each iteration's batch spans finish_sigma_rungs
         # anneal scales simultaneously (particle i at sigma_decay^(i%R)),
         # instead of one scale per iteration. The frame program is
@@ -387,7 +444,7 @@ def pso(
                 shape=(Pf,),
             )
             cand = cand.at[0].set(best_pose)
-            f, c = score_fn_hi(cand)
+            f, c = score_fn_fin(cand)
             bp, bf, bc = swarm_best(cand, f, c)
             improved = bf > best_fit
             best_pose = jnp.where(improved, bp, best_pose)

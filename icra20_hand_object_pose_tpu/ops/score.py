@@ -186,18 +186,30 @@ def _bilinear_depth(
     packed = pack_quad(enc)
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
-    au = u - u0
-    av = v - v0
     u0i = u0.astype(jnp.int32)
     v0i = v0.astype(jnp.int32)
     # inb (nearest pixel in range) implies u0 in [-1, W-1], v0 likewise,
     # which the _FAR border of the packed table covers exactly
     base = jnp.where(inb, (v0i + 1) * (width + 1) + (u0i + 1), 0)
     quad = jnp.take(packed, base, axis=0)                      # [...,N,4]
+    return _edge_aware_combine(
+        u - u0, v - v0, inb,
+        [quad[..., k] for k in range(4)], edge_tau,
+    )
 
+
+def _edge_aware_combine(
+    au: jax.Array, av: jax.Array, inb: jax.Array,
+    corners: list[jax.Array],    # [d00, d01, d10, d11] encoded values
+    edge_tau: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Edge-aware bilinear combination of the four 2x2 corner values
+    (encoded-image semantics; shared by the quad-gather and MXU-gather
+    corner fetchers — identical math, so the two paths agree to the
+    corner values' precision)."""
     d_corner, w_corner, m_corner = [], [], []
     for k, (dv, du) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-        d = quad[..., k]
+        d = corners[k]
         w = (au if du else 1.0 - au) * (av if dv else 1.0 - av)
         d_corner.append(d)
         w_corner.append(w)
@@ -208,11 +220,11 @@ def _bilinear_depth(
     sel = [(~near_u & ~near_v), (near_u & ~near_v),
            (~near_u & near_v), (near_u & near_v)]
     d_ref = sum(jnp.where(s, d, 0.0) for s, d in zip(sel, d_corner))
-    ref_ok = sum(jnp.where(s, m.astype(u.dtype), 0.0)
+    ref_ok = sum(jnp.where(s, m.astype(au.dtype), 0.0)
                  for s, m in zip(sel, m_corner)) > 0.5
 
-    num = jnp.zeros_like(u)
-    den = jnp.zeros_like(u)
+    num = jnp.zeros_like(au)
+    den = jnp.zeros_like(au)
     for d, w, m in zip(d_corner, w_corner, m_corner):
         wk = w * m * (jnp.abs(d - d_ref) < edge_tau)
         num = num + wk * jnp.where(m, d, 0.0)
@@ -238,6 +250,7 @@ def compare_points(
     subpixel: bool = False,
     ghost_dilate: int = 1,
     observed_enc: jax.Array | None = None,
+    mxu_tables: tuple | None = None,
 ) -> ScoreTerms:
     """Point-wise render-and-compare: projective association instead of a
     per-particle z-buffer.
@@ -265,6 +278,26 @@ def compare_points(
     smearing foreground into background. Used at the fine scoring tier
     (polish + finisher, ops/pso.py); the in-scan coarse tier keeps the
     single gather.
+
+    mxu_tables replaces every image gather (observed depth AND hand
+    occlusion) with separable one-hot MXU matmuls (ops/gather_mxu) —
+    the dominant frame cost was XLA's count-bound gather (~5-8
+    ns/lookup; two lookups per sample per iteration). Two forms:
+
+      ("image", enc_hi, enc_lo, hand_hi, hand_lo) — full-image lookups
+      (coarse/low-res tier). enc_* = gather_mxu.split_bf16 of
+      encode_observed(...); hand_* = split of the hand depth with +inf
+      replaced by a large finite sentinel (split_bf16(inf) would
+      produce NaN and occlusion tests handle 1e9 fine), or None.
+
+      ("patch", enc_hi, enc_lo, hand_hi, hand_lo, pv0, pu0) — per-point
+      [N,S,S] patches around one reference pose's sample projections
+      with patch origins pv0/pu0 [N] (finisher tier: mm-scale
+      perturbations keep samples inside their patches, and a
+      full-VGA-width one-hot operand would be GBs).
+
+    Exact to double-bf16 precision (~3 um at 0.5 m). Hot callers
+    (ops/pso.py) build the tables once per frame/tier outside the scans.
     """
     x, y, z = pts_cam[..., 0], pts_cam[..., 1], pts_cam[..., 2]
     in_front = z > 1e-6
@@ -288,22 +321,73 @@ def compare_points(
     # Samples projecting FAR into unobserved space (the 71 mm drift
     # failure mode) still pay. Hot callers (ops/pso.py) precompute
     # `observed_enc` once per frame/tier OUTSIDE the scan.
-    if observed_enc is None:
-        observed_enc = encode_observed(observed, observed_valid, ghost_dilate)
-    enc_flat = observed_enc.reshape(-1)
-    flat = jnp.where(inb, vi * width + ui, 0)
-    if subpixel:
-        d_obs, v_obs, e_ref = _bilinear_depth(
-            u, v, inb, observed_enc,
-            height=height, width=width, edge_tau=3.0 * depth_tau,
-        )
+    if mxu_tables is not None:
+        from . import gather_mxu
+
+        if mxu_tables[0] == "patch":
+            # per-point patches (finisher tier): lookups in patch-local
+            # coordinates; out-of-patch samples read 0.0 = no evidence
+            _, enc_hi, enc_lo, hand_hi, hand_lo, pv0, pu0 = mxu_tables
+            if subpixel:
+                u0 = jnp.floor(u)
+                v0 = jnp.floor(v)
+                corners = gather_mxu.take_patch_corners(
+                    enc_hi, enc_lo,
+                    v0.astype(jnp.int32) - pv0, u0.astype(jnp.int32) - pu0,
+                )
+                d_obs, v_obs, e_ref = _edge_aware_combine(
+                    u - u0, v - v0, inb, list(corners), 3.0 * depth_tau,
+                )
+            else:
+                e_ref = gather_mxu.take_patches(
+                    enc_hi, enc_lo, vi - pv0, ui - pu0)
+                v_obs = inb & (e_ref > 0.0) & (e_ref < 0.5 * _FAR)
+                d_obs = e_ref
+            if hand_hi is not None:
+                d_hand = gather_mxu.take_patches(
+                    hand_hi, hand_lo, vi - pv0, ui - pu0)
+                vis = vis & ~(
+                    (d_hand > 0.0) & (d_hand < z - occlusion_margin))
+        else:
+            _, enc_hi, enc_lo, hand_hi, hand_lo = mxu_tables
+            if subpixel:
+                u0 = jnp.floor(u)
+                v0 = jnp.floor(v)
+                corners = gather_mxu.take_image_corners(
+                    enc_hi, enc_lo,
+                    v0.astype(jnp.int32), u0.astype(jnp.int32),
+                )
+                d_obs, v_obs, e_ref = _edge_aware_combine(
+                    u - u0, v - v0, inb, list(corners), 3.0 * depth_tau,
+                )
+            else:
+                e_ref = gather_mxu.take_image(enc_hi, enc_lo, vi, ui)
+                v_obs = inb & (e_ref > 0.0) & (e_ref < 0.5 * _FAR)
+                d_obs = e_ref
+            if hand_hi is not None:
+                d_hand = gather_mxu.take_image(hand_hi, hand_lo, vi, ui)
+                # out-of-range lookups return exactly 0.0 (all-zero
+                # one-hot), which must not read as "occluded at depth 0"
+                vis = vis & ~(
+                    (d_hand > 0.0) & (d_hand < z - occlusion_margin))
     else:
-        e_ref = jnp.take(enc_flat, flat)
-        v_obs = inb & (e_ref > 0.0) & (e_ref < 0.5 * _FAR)
-        d_obs = e_ref
-    if hand_depth is not None:
-        d_hand = jnp.take(hand_depth.reshape(-1), flat)
-        vis = vis & ~(d_hand < z - occlusion_margin)
+        if observed_enc is None:
+            observed_enc = encode_observed(
+                observed, observed_valid, ghost_dilate)
+        enc_flat = observed_enc.reshape(-1)
+        flat = jnp.where(inb, vi * width + ui, 0)
+        if subpixel:
+            d_obs, v_obs, e_ref = _bilinear_depth(
+                u, v, inb, observed_enc,
+                height=height, width=width, edge_tau=3.0 * depth_tau,
+            )
+        else:
+            e_ref = jnp.take(enc_flat, flat)
+            v_obs = inb & (e_ref > 0.0) & (e_ref < 0.5 * _FAR)
+            d_obs = e_ref
+        if hand_depth is not None:
+            d_hand = jnp.take(hand_depth.reshape(-1), flat)
+            vis = vis & ~(d_hand < z - occlusion_margin)
 
     diff = z - jnp.where(v_obs, d_obs, jnp.inf)
     absdiff = jnp.abs(diff)

@@ -113,6 +113,13 @@ class PsoConfig:
     finish_iters: int = 3               # score-only annealed finisher stage
     finish_particles: int = 512         # finisher batch size (per shard)
     finish_sigma_frac: float = 0.15     # finisher start sigma (x rot/trans)
+    finish_patch: int = 16              # px; per-point MXU gather patch
+                                        # side for the finisher tier
+                                        # (ops/gather_mxu.take_patch_*):
+                                        # must cover the max projection
+                                        # drift of a finisher candidate
+                                        # from the pre-finisher best
+                                        # (mm-scale sigmas -> a few px)
     finish_sigma_rungs: int = 4         # sigma scales per finisher batch:
                                         # particle i perturbs at
                                         # sigma_decay^(i%rungs); with
@@ -143,6 +150,12 @@ class ScoreConfig:
     ghost_dilate: int = 1               # px of silhouette tolerance before
                                         # a no-return projection is
                                         # penalized as a ghost
+    gather_mode: str = "mxu"            # "mxu": projective depth lookups
+                                        # as separable one-hot MXU
+                                        # matmuls (ops/gather_mxu; XLA's
+                                        # count-bound TPU gather was ~70%
+                                        # of r2 frame latency); "take":
+                                        # plain XLA gathers (oracle path)
 
 
 @dataclass(frozen=True)
