@@ -18,10 +18,13 @@ import time
 import numpy as np
 
 
-def bench_sweep(n_objects: int = 8) -> None:
+def bench_sweep(n_objects: int = 8, particles: int = 128) -> None:
     """BASELINE config 5: whole model library tracked concurrently as one
     jit program (object axis; single chip here, sharded on a slice).
-    Prints one JSON line; run via `python bench.py --sweep`."""
+    Prints one JSON line incl. hyp/s/chip so per-chip efficiency is
+    directly comparable to the single-object headline at MATCHED
+    particle counts (VERDICT r2 item 4: `--sweep-scale` runs 8x512 and
+    16x128). Run via `python bench.py --sweep`."""
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
@@ -37,7 +40,6 @@ def bench_sweep(n_objects: int = 8) -> None:
     cam = CameraIntrinsics(width=640, height=480, fx=570.0, fy=570.0,
                            cx=320.0, cy=240.0)
     pso_iters = 10
-    particles = 128  # per object; n_objects tracked concurrently
     cfg = EstimatorConfig(
         camera=cam, scene_points=2048,
         pso=PsoConfig(particles=particles, iters=pso_iters),
@@ -69,10 +71,13 @@ def bench_sweep(n_objects: int = 8) -> None:
     dt = (time.perf_counter() - t0) / n_rep
     value = n_objects / dt
     print(json.dumps({
-        "metric": f"library_sweep_objects_tracked_per_sec_{n_objects}obj_128p",
+        "metric": (f"library_sweep_objects_tracked_per_sec_{n_objects}obj"
+                   f"_{particles}p"),
         "value": round(value, 2),
         "unit": "object-frames/sec/chip",
         "vs_baseline": round(value * particles * pso_iters / 1000.0, 3),
+        "hyp_per_sec_chip": round(n_objects * particles * pso_iters / dt, 1),
+        "ms_per_object_frame": round(dt / n_objects * 1000.0, 2),
     }))
 
 
@@ -305,7 +310,12 @@ def cli(argv=None) -> None:
     import sys
 
     argv = sys.argv[1:] if argv is None else argv
-    if "--sweep" in argv:
+    if "--sweep-scale" in argv:
+        # matched-scale per-chip efficiency check (VERDICT r2 item 4):
+        # same total hypothesis budget, two library shapes
+        bench_sweep(n_objects=8, particles=512)
+        bench_sweep(n_objects=16, particles=128)
+    elif "--sweep" in argv:
         bench_sweep()
     elif "--init" in argv:
         bench_init()
