@@ -522,6 +522,8 @@ class TrackerState(NamedTuple):
     fitness: jax.Array     # last frame's fitness
     hyp_poses: jax.Array | None = None   # [H,4,4] competing basins (H>1)
     hyp_fitness: jax.Array | None = None  # [H]
+    prev_pose: jax.Array | None = None   # [4,4] pose one frame earlier
+                                         # (constant-velocity prior)
 
 
 class TrackResult(NamedTuple):
@@ -572,6 +574,7 @@ class Tracker:
         )
         mode = "init" if need_init else "track"
         H = self.est.cfg.tracker.n_hypotheses
+        alpha = self.est.cfg.tracker.motion_prior
         if H > 1 and st.hyp_poses is not None and not need_init:
             # carry every competing basin forward; slots that never held a
             # distinct basin (fitness -inf) re-seed from the best pose
@@ -579,6 +582,22 @@ class Tracker:
                 jnp.isfinite(st.hyp_fitness)[:, None, None],
                 st.hyp_poses, st.pose[None],
             )
+        elif H == 1 and alpha > 0.0 and not need_init:
+            # Constant-velocity prior: the swarm splits between the last
+            # pose AND its extrapolation by (a damped power of) the last
+            # frame-to-frame delta. Exact for constant rigid motion; the
+            # raw last pose stays a prior so a bad previous delta cannot
+            # lose the track. The 2-prior shape is used from the FIRST
+            # tracked frame (delta = identity then) so track mode stays
+            # one compiled program.
+            if st.prev_pose is not None:
+                delta = se3.compose(st.pose, se3.inverse(st.prev_pose))
+                if alpha != 1.0:
+                    delta = se3.se3_exp(alpha * se3.se3_log(delta))
+                predicted = se3.compose(delta, st.pose)
+            else:
+                predicted = st.pose
+            prev = jnp.stack([predicted, st.pose])
         else:
             prev = jnp.tile(st.pose[None], (H, 1, 1)) if H > 1 else st.pose
         out = self.est.estimate(
@@ -592,6 +611,9 @@ class Tracker:
             fitness=out.fitness,
             hyp_poses=out.hyp_poses if H > 1 else None,
             hyp_fitness=out.hyp_fitness if H > 1 else None,
+            # after a (re-)init the delta to the pre-init pose is
+            # meaningless — restart the velocity estimate
+            prev_pose=None if need_init else st.pose,
         )
         return TrackResult(
             pose=out.pose, fitness=out.fitness, coverage=out.coverage,
@@ -610,6 +632,8 @@ class Tracker:
                 hyp_poses=np.asarray(st.hyp_poses),
                 hyp_fitness=np.asarray(st.hyp_fitness),
             )
+        if st.prev_pose is not None:
+            extra["prev_pose"] = np.asarray(st.prev_pose)
         np.savez(
             _ckpt_path(path),
             pose=np.asarray(st.pose),
@@ -631,5 +655,8 @@ class Tracker:
             hyp_poses=jnp.asarray(z["hyp_poses"]) if "hyp_poses" in z else None,
             hyp_fitness=(
                 jnp.asarray(z["hyp_fitness"]) if "hyp_fitness" in z else None
+            ),
+            prev_pose=(
+                jnp.asarray(z["prev_pose"]) if "prev_pose" in z else None
             ),
         )

@@ -23,6 +23,7 @@ loop per particle per iteration). Redesign (SURVEY.md §4.5):
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import NamedTuple
 
@@ -198,13 +199,20 @@ def pso(
     if observed_hi is not None:
         (d_hi, v_hi, h_hi, fx_h, fy_h, cx_h, cy_h, hh, wh) = observed_hi
         enc_hi = score.encode_observed(d_hi, v_hi, score_cfg.ghost_dilate)
+        # fine tier discriminates millimeters: its own (smaller)
+        # saturation scale — at the coarse tau a mm-wrong pose still
+        # collects near-full support and the finisher cannot rank it
+        score_cfg_hi = (
+            dataclasses.replace(score_cfg, depth_tau=score_cfg.depth_tau_fine)
+            if score_cfg.depth_tau_fine > 0 else score_cfg
+        )
         score_fn_hi = partial(
             score_particles,
             render_pts=render_pts, render_normals=render_normals,
             render_w=render_w,
             observed_depth=d_hi, observed_valid=v_hi, hand_depth=h_hi,
             fx=fx_h, fy=fy_h, cx=cx_h, cy=cy_h, height=hh, width=wh,
-            splat_radius=splat_radius, score_cfg=score_cfg,
+            splat_radius=splat_radius, score_cfg=score_cfg_hi,
             # fine tier: sub-pixel (edge-aware bilinear) observed-depth
             # gather removes the ~z/f-per-pixel quantization floor
             subpixel=score_cfg.subpixel,
@@ -212,6 +220,7 @@ def pso(
         )
     else:
         score_fn_hi = score_fn
+        score_cfg_hi = score_cfg
 
     # Stochastic inner ICP (cf. SGD-ICP, PAPERS.md): the in-loop refine
     # pulls each particle toward the local basin — it does not need every
@@ -399,21 +408,20 @@ def pso(
             vr = jnp.round(ref[..., 1] / zr * fy_h + cy_h).astype(jnp.int32)
             pu0 = jnp.clip(ur - S // 2, 0, wh - S)
             pv0 = jnp.clip(vr - S // 2, 0, hh - S)
-            e_hi, e_lo = gather_mxu.split_bf16(enc_hi)
+            # slice the two f32 images once, split the (tiny) patches
+            # after: 2 vmapped dynamic_slice passes instead of 4
             h_sent = jnp.where(jnp.isfinite(h_hi), h_hi, score._FAR)
-            g_hi, g_lo = gather_mxu.split_bf16(h_sent)
-            patches = tuple(
-                gather_mxu.extract_patches(t, pv0, pu0, S)
-                for t in (e_hi, e_lo, g_hi, g_lo)
-            )
-            mxu_fin = ("patch", *patches, pv0, pu0)
+            enc_p = gather_mxu.extract_patches(enc_hi, pv0, pu0, S)
+            hand_p = gather_mxu.extract_patches(h_sent, pv0, pu0, S)
+            mxu_fin = ("patch", *gather_mxu.split_bf16(enc_p),
+                       *gather_mxu.split_bf16(hand_p), pv0, pu0)
             score_fn_fin = partial(
                 score_particles,
                 render_pts=render_pts, render_normals=render_normals,
                 render_w=render_w,
                 observed_depth=d_hi, observed_valid=v_hi, hand_depth=h_hi,
                 fx=fx_h, fy=fy_h, cx=cx_h, cy=cy_h, height=hh, width=wh,
-                splat_radius=splat_radius, score_cfg=score_cfg,
+                splat_radius=splat_radius, score_cfg=score_cfg_hi,
                 subpixel=score_cfg.subpixel,
                 observed_enc=enc_hi,
                 mxu_tables=mxu_fin,

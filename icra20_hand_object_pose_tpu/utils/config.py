@@ -136,6 +136,16 @@ class PsoConfig:
 class ScoreConfig:
     """Render-and-compare scoring (SURVEY.md §3 "Render-and-compare scorer")."""
     depth_tau: float = 0.01             # meters; residual saturation scale
+    depth_tau_fine: float = 0.005       # meters; saturation scale of the
+                                        # FINE tier (polish acceptance +
+                                        # finisher): at tau=10 mm a 2 mm-
+                                        # wrong pose still collects ~0.8
+                                        # support per point, so the
+                                        # finisher cannot discriminate
+                                        # mm offsets; half-width tau
+                                        # sharpens the optimum (sensor
+                                        # noise is ~1 mm). 0 = use
+                                        # depth_tau at both tiers.
     wrong_side_penalty: float = 2.0     # rendered in front of observed
     occlusion_margin: float = 0.005     # meters; hand-occlusion z-test margin
     coverage_weight: float = 0.5        # reward for explaining observed pixels
@@ -194,6 +204,17 @@ class TrackerConfig:
                                             # basins persist; resolves
                                             # near-symmetry ambiguity as
                                             # soon as evidence separates)
+    motion_prior: float = 1.0               # constant-velocity propagation:
+                                            # the tracked swarm seeds from
+                                            # BOTH the last pose and
+                                            # exp(motion_prior * log(last
+                                            # frame-to-frame delta)) @ last
+                                            # (exact for constant rigid
+                                            # motion; damp < 1 if the
+                                            # sensor rate outruns dynamics).
+                                            # 0 disables (single prior,
+                                            # pre-r3 behavior). Applied
+                                            # when n_hypotheses == 1.
     reinit_prescreen: int = 4096            # orientations scored ONCE
                                             # (no ICP) before the global
                                             # search; top reinit_particles

@@ -249,3 +249,49 @@ def test_multi_hypothesis_tracker(tmp_path, setup):
     t2.load(p)
     assert np.allclose(np.asarray(t2.state.hyp_poses),
                        np.asarray(tracker.state.hyp_poses))
+
+
+def test_motion_prior_extrapolation(setup, monkeypatch):
+    """Constant-velocity prior (TrackerConfig.motion_prior): from the
+    second tracked frame on, the estimator receives TWO swarm priors —
+    exp(log(delta)) @ last (the extrapolation) and the raw last pose —
+    and the predicted prior equals the exact constant-motion
+    extrapolation. After a (re-)init the velocity restarts."""
+    import dataclasses
+
+    ctx = setup
+    est = Estimator(ctx["obj"], ctx["hand"], ctx["cfg"])
+    frame = ctx["frames"][0]
+    captured = {}
+    real_estimate = est.estimate
+
+    def spy(depth, prev, hb, hq, **kw):
+        captured["prev"] = prev
+        return real_estimate(depth, prev, hb, hq, **kw)
+
+    monkeypatch.setattr(est, "estimate", spy)
+    tracker = Tracker(est, seed=0)
+    tracker.state = tracker.state._replace(
+        pose=jnp.asarray(frame.pose_gt), initialized=jnp.asarray(True),
+        fitness=jnp.asarray(1.0))
+
+    d = jnp.asarray(frame.depth)
+    hb, hq = jnp.asarray(frame.hand_base), jnp.asarray(frame.hand_q)
+    tracker.step(d, hb, hq)
+    # first tracked frame: no velocity yet -> both priors identical
+    assert captured["prev"].shape == (2, 4, 4)
+    np.testing.assert_allclose(
+        np.asarray(captured["prev"][0]), np.asarray(captured["prev"][1]))
+
+    p1 = np.asarray(tracker.state.pose)
+    p0 = np.asarray(tracker.state.prev_pose)
+    tracker.step(d, hb, hq)
+    delta = p1 @ np.linalg.inv(p0)
+    np.testing.assert_allclose(
+        np.asarray(captured["prev"][0]), delta @ p1, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(captured["prev"][1]), p1, atol=0)
+
+    # watchdog reinit restarts the velocity estimate
+    tracker.state = tracker.state._replace(fitness=jnp.asarray(-10.0))
+    tracker.step(d, hb, hq)
+    assert tracker.state.prev_pose is None
