@@ -524,6 +524,11 @@ class TrackerState(NamedTuple):
     hyp_fitness: jax.Array | None = None  # [H]
     prev_pose: jax.Array | None = None   # [4,4] pose one frame earlier
                                          # (constant-velocity prior)
+    pose_tracked: bool = False           # True iff `pose` came from a
+                                         # TRACKED frame (not an init) —
+                                         # a delta based on an init pose
+                                         # would fold the init's residual
+                                         # into the velocity estimate
 
 
 class TrackResult(NamedTuple):
@@ -611,9 +616,13 @@ class Tracker:
             fitness=out.fitness,
             hyp_poses=out.hyp_poses if H > 1 else None,
             hyp_fitness=out.hyp_fitness if H > 1 else None,
-            # after a (re-)init the delta to the pre-init pose is
-            # meaningless — restart the velocity estimate
-            prev_pose=None if need_init else st.pose,
+            # velocity restarts after a (re-)init — AND for one more
+            # frame: a delta whose base is the init pose folds the init's
+            # residual (up to ~cm on a hard shape) into the "velocity"
+            # and extrapolates it, seeding 2/3 of the next swarm wrong
+            prev_pose=(st.pose if (not need_init and st.pose_tracked)
+                       else None),
+            pose_tracked=not need_init,
         )
         return TrackResult(
             pose=out.pose, fitness=out.fitness, coverage=out.coverage,
@@ -641,6 +650,7 @@ class Tracker:
             key=np.asarray(jax.random.key_data(st.key)),
             initialized=np.asarray(st.initialized),
             fitness=np.asarray(st.fitness),
+            pose_tracked=np.asarray(st.pose_tracked),
             **extra,
         )
 
@@ -658,5 +668,11 @@ class Tracker:
             ),
             prev_pose=(
                 jnp.asarray(z["prev_pose"]) if "prev_pose" in z else None
+            ),
+            # pre-field checkpoints: a stored prev_pose implies the pose
+            # was tracked
+            pose_tracked=(
+                bool(z["pose_tracked"]) if "pose_tracked" in z
+                else "prev_pose" in z
             ),
         )

@@ -136,16 +136,22 @@ class PsoConfig:
 class ScoreConfig:
     """Render-and-compare scoring (SURVEY.md §3 "Render-and-compare scorer")."""
     depth_tau: float = 0.01             # meters; residual saturation scale
-    depth_tau_fine: float = 0.005       # meters; saturation scale of the
-                                        # FINE tier (polish acceptance +
-                                        # finisher): at tau=10 mm a 2 mm-
-                                        # wrong pose still collects ~0.8
-                                        # support per point, so the
-                                        # finisher cannot discriminate
-                                        # mm offsets; half-width tau
-                                        # sharpens the optimum (sensor
-                                        # noise is ~1 mm). 0 = use
-                                        # depth_tau at both tiers.
+    depth_tau_fine: float = 0.0         # meters; optional separate
+                                        # saturation scale for the FINE
+                                        # tier (polish acceptance +
+                                        # finisher). 0 = use depth_tau at
+                                        # both tiers (default). Measured
+                                        # (r3, VGA asym, 512p): 5 mm fine
+                                        # tau degraded tracked ADD-S
+                                        # 0.80 -> 1.22 mm — the sharper
+                                        # kernel saturates while the
+                                        # tracker is still multi-mm off
+                                        # (init recovery), weakening
+                                        # cross-candidate ranking exactly
+                                        # when it matters; no gain under
+                                        # 1 mm sensor noise either. Kept
+                                        # as a knob for clean mm-regime
+                                        # experiments.
     wrong_side_penalty: float = 2.0     # rendered in front of observed
     occlusion_margin: float = 0.005     # meters; hand-occlusion z-test margin
     coverage_weight: float = 0.5        # reward for explaining observed pixels
@@ -204,17 +210,25 @@ class TrackerConfig:
                                             # basins persist; resolves
                                             # near-symmetry ambiguity as
                                             # soon as evidence separates)
-    motion_prior: float = 1.0               # constant-velocity propagation:
-                                            # the tracked swarm seeds from
-                                            # BOTH the last pose and
+    motion_prior: float = 0.0               # constant-velocity propagation:
+                                            # > 0 seeds the tracked swarm
+                                            # from BOTH the last pose and
                                             # exp(motion_prior * log(last
                                             # frame-to-frame delta)) @ last
                                             # (exact for constant rigid
-                                            # motion; damp < 1 if the
-                                            # sensor rate outruns dynamics).
-                                            # 0 disables (single prior,
-                                            # pre-r3 behavior). Applied
-                                            # when n_hypotheses == 1.
+                                            # motion). Default OFF by
+                                            # measurement (r3): the PSO+ICP
+                                            # capture range absorbs 28 deg
+                                            # + 45 mm per frame without it,
+                                            # and during init recovery the
+                                            # delta folds mm-scale
+                                            # estimation residuals into a
+                                            # spurious "velocity" (clean
+                                            # VGA tracked ADD-S 0.80 ->
+                                            # 0.91 mm). Knob for regimes
+                                            # with a weakened per-frame
+                                            # search (low iters/particles).
+                                            # Applied when n_hypotheses==1.
     reinit_prescreen: int = 4096            # orientations scored ONCE
                                             # (no ICP) before the global
                                             # search; top reinit_particles

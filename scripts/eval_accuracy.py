@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(shape: str, noise: bool, subpixel: bool, frames: int,
-        particles: int, init_gt: bool = False, n_hyp: int = 1) -> dict:
+        particles: int, init_gt: bool = False, n_hyp: int = 1,
+        motion_prior: float | None = None,
+        tau_fine: float | None = None, seed: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
@@ -40,11 +42,17 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
                            cx=320.0, cy=240.0)
     from icra20_hand_object_pose_tpu.utils.config import TrackerConfig
 
+    score_kw = dict(subpixel=subpixel)
+    if tau_fine is not None:
+        score_kw["depth_tau_fine"] = tau_fine
+    tracker_kw = dict(n_hypotheses=n_hyp)
+    if motion_prior is not None:
+        tracker_kw["motion_prior"] = motion_prior
     cfg = EstimatorConfig(
         camera=cam, scene_points=2048,
         pso=PsoConfig(particles=particles, iters=10),
-        score=ScoreConfig(subpixel=subpixel),
-        tracker=TrackerConfig(n_hypotheses=n_hyp),
+        score=ScoreConfig(**score_kw),
+        tracker=TrackerConfig(**tracker_kw),
     )
     mesh = meshio.make_test_object(shape)
     hand = make_t42_hand()
@@ -52,7 +60,7 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
         n_frames=frames, camera=cam,
         noise_sigma=0.001 if noise else 0.0,
         dropout=0.02 if noise else 0.0,
-        seed=3,
+        seed=seed,
     )
     from icra20_hand_object_pose_tpu.evaluation import (
         add_error, add_sym_error, rotation_error_deg, symmetry_group,
@@ -124,10 +132,16 @@ def main():
     ap.add_argument("--hyp", type=int, default=1,
                     help="tracker hypotheses (competing basins)")
     ap.add_argument("--noise", default="both", choices=["clean", "noisy", "both"])
+    ap.add_argument("--motion-prior", type=float, default=None,
+                    help="override TrackerConfig.motion_prior (A/B)")
+    ap.add_argument("--tau-fine", type=float, default=None,
+                    help="override ScoreConfig.depth_tau_fine (A/B; 0=off)")
+    ap.add_argument("--seed", type=int, default=3, help="sequence seed")
     a = ap.parse_args()
     noises = {"clean": [False], "noisy": [True], "both": [False, True]}[a.noise]
     for n in noises:
-        run(a.shape, n, not a.no_subpixel, a.frames, a.particles, a.init_gt, a.hyp)
+        run(a.shape, n, not a.no_subpixel, a.frames, a.particles, a.init_gt,
+            a.hyp, a.motion_prior, a.tau_fine, a.seed)
 
 
 if __name__ == "__main__":
