@@ -7,9 +7,10 @@ XLA program over the [H,W] grid: backprojection, grid normals, validity
 masks, and fixed-size subsampling to a static [Ns] scene cloud (static
 shapes are mandatory under jit — SURVEY.md §8 hard part 1).
 
-The ragged->static trick: valid points are prioritized with random keys
-and selected with a single argsort; padding slots carry weight 0 so they
-contribute nothing to ICP normal equations or scoring.
+The ragged->static trick: valid points carry random priorities and a
+lattice-stratified per-bucket argmin picks one per output slot (see
+subsample_cloud); padding slots carry weight 0 so they contribute
+nothing to ICP normal equations or scoring.
 """
 from __future__ import annotations
 
@@ -96,17 +97,66 @@ def subsample_cloud(
     """Random fixed-size subsample of valid grid points.
 
     points/normals [H,W,3], valid [H,W] -> ([n,3], [n,3], weights [n]).
-    One argsort over H*W random priorities; invalid pixels sink to the end.
+
+    2-D lattice-stratified bucket sampling — no sort, no top_k. The
+    grid is bucketed by pixel residue (y mod gh, x mod gw) with
+    gh*gw = n_out, so each bucket is a coarse lattice (spacing gh rows
+    x gw cols) sweeping the whole frame — any object larger than one
+    lattice cell lands valid pixels in essentially every bucket, and
+    no axis-aligned validity structure can starve a bucket (a flat
+    stride-n_out scheme aliases when n_out % W == 0: each bucket
+    degenerates to a single image column). One random-priority argmin
+    per bucket picks a uniform valid pixel from that bucket. Replaces
+    lax.top_k over the 307k-entry VGA grid — top_k's sorting network
+    was ~5 ms of the 8 ms preprocess phase on v5e; reshape + argmin is
+    one reduction pass. Cost: a bucket with no valid pixel yields a
+    weight-0 slot even if other buckets are dense (only relevant for
+    objects far smaller than one lattice cell); a fixed valid-sample
+    count was never semantically required — weights carry validity.
+
+    The output slots are randomly PERMUTED: raw bucket order is spatially
+    structured (slot c = residue class (c//gw, c%gw), so a contiguous
+    slot range covers only a stripe of row residues) and downstream
+    consumers take prefixes assuming random order — the stochastic inner
+    ICP reads scene_pts[:icp_scene_subset] (ops/pso.py). Measured before
+    the shuffle: tracked mug-noisy ADD-S 2.24 -> 3.30 mm because the ICP
+    subset saw only half the image's row-residue stripes. The [n_out]
+    permutation gather is ~us against the ~5 ms the bucket scheme saves
+    over top_k at VGA.
     """
+    H, W = valid.shape
     flat_p = points.reshape(-1, 3)
     flat_n = normals.reshape(-1, 3)
     flat_v = valid.reshape(-1)
-    pri = jax.random.uniform(key, flat_v.shape)
-    pri = jnp.where(flat_v, pri, 2.0)  # invalid last
-    # top_k of the negated priorities == n_out smallest; much cheaper
-    # than a full argsort over the H*W grid (307k entries at VGA)
-    _, order = jax.lax.top_k(-pri, n_out)
-    w = flat_v[order].astype(points.dtype)
+    hw = H * W
+    # bucket grid: gw = divisor of n_out closest to the aspect-matched
+    # split (static, host-side)
+    target = max(1.0, (n_out * W / max(H, 1)) ** 0.5)
+    gw = min((d for d in range(1, n_out + 1) if n_out % d == 0),
+             key=lambda d: abs(d - target))
+    gh = n_out // gw
+    Hq, Wq = -(-H // gh), -(-W // gw)
+    key, k_perm = jax.random.split(key)
+    pri = jax.random.uniform(key, (hw,))
+    pri = jnp.where(flat_v, pri, 2.0)  # invalid last within each bucket
+    p2 = jnp.pad(pri.reshape(H, W), ((0, Hq * gh - H), (0, Wq * gw - W)),
+                 constant_values=2.0)
+    # [Hq,gh,Wq,gw] -> buckets [gh*gw, Hq*Wq]; argmin over each lattice
+    pt = p2.reshape(Hq, gh, Wq, gw).transpose(1, 3, 0, 2).reshape(
+        n_out, Hq * Wq)
+    k = jnp.argmin(pt, axis=1)                              # [n_out]
+    perm = jax.random.permutation(k_perm, n_out)
+    k = k[perm]
+    pt_min = jnp.min(pt, axis=1)[perm]
+    c = perm
+    y = (k // Wq) * gh + c // gw
+    x = (k % Wq) * gw + c % gw
+    order = jnp.minimum(y * W + x, hw - 1)
+    # weight gates on the winning PRIORITY (< 1.5 iff a valid pixel won):
+    # an all-invalid bucket's decoded index may alias a real pixel (row
+    # wrap / padded-residue buckets when gh > H) and flat_v[order] alone
+    # would resurrect it
+    w = (pt_min < 1.5).astype(points.dtype)
     p = flat_p[order]
     n = flat_n[order]
     # Push padding points far away so any distance-based op naturally ignores
