@@ -148,7 +148,8 @@ def nn_batched(
     return idx[:, 0, :Ns], d2[:, 0, :Ns]
 
 
-def _make_gather_kernel(tile_m: int, n_tiles_m: int):
+def _make_gather_kernel(tile_m: int, n_tiles_m: int, tile_p: int,
+                        shared_q: bool):
     """NN + in-kernel correspondence gather.
 
     ref pack rows: [1, x, y, z, nx, ny, nz, 0]; query rows [x, y, z, 0..].
@@ -159,6 +160,15 @@ def _make_gather_kernel(tile_m: int, n_tiles_m: int):
     ~1e-7 coordinate accuracy at 1/3 the cost of a HIGHEST-precision f32
     matmul. Replaces two XLA take_along_axis gathers that cost more than
     the NN search itself (~25-40 ms at [512,2048] on v5e).
+
+    tile_p particles are processed per grid step (unrolled in-kernel
+    loop): the inner-ICP shape [P=512, Ns=512, Nm=512] otherwise runs a
+    512-step grid whose per-step compute is ~1-2 us, so grid/step
+    bookkeeping is a real fraction of the call. Measured on v5e at 512p
+    VGA: ~1 ms/frame total (the kernel was already well-pipelined;
+    per-step overhead is small in-program). Kept because the win is
+    free: per-particle math is unchanged — tp=8 is bit-identical to
+    tp=1 at every production shape (validated on-chip).
     """
 
     def _kernel(q_ref, r_ref, chan_ref, idx_ref):
@@ -169,42 +179,43 @@ def _make_gather_kernel(tile_m: int, n_tiles_m: int):
             chan_ref[...] = jnp.full_like(chan_ref, jnp.inf)
             idx_ref[...] = jnp.zeros_like(idx_ref)
 
-        q = q_ref[0]          # [8, TS]
-        r = r_ref[0]          # [8, TM]
-        acc = None
-        for c in range(3):
-            diff = r[c + 1][:, None] - q[c][None, :]
-            acc = diff * diff if acc is None else acc + diff * diff
-        lm = jnp.min(acc, axis=0, keepdims=True)                   # [1, TS]
-        la = jnp.argmin(acc, axis=0, keepdims=True).astype(jnp.int32)
-        iota_m = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
-        onehot = (iota_m == la).astype(jnp.bfloat16)               # exact
-        r_hi = r.astype(jnp.bfloat16)
-        r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dn = (((1,), (0,)), ((), ()))
-        sel = (
-            jax.lax.dot_general(r_hi, onehot, dn,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(r_lo, onehot, dn,
-                                  preferred_element_type=jnp.float32)
-        )                                                          # [8, TS]
-        row = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
-        cand = jnp.where(row == 0, jnp.broadcast_to(lm, sel.shape), sel)
-        cur = chan_ref[0]
-        better = lm < cur[0:1]
-        chan_ref[0] = jnp.where(
-            jnp.broadcast_to(better, cur.shape), cand, cur
-        )
-        idx_ref[0] = jnp.where(
-            jnp.broadcast_to(better, cur.shape),
-            jnp.broadcast_to(la + j * tile_m, cur.shape), idx_ref[0],
-        )
+        for t in range(tile_p):
+            q = q_ref[0 if shared_q else t]   # [8, TS]
+            r = r_ref[t]                      # [8, TM]
+            acc = None
+            for c in range(3):
+                diff = r[c + 1][:, None] - q[c][None, :]
+                acc = diff * diff if acc is None else acc + diff * diff
+            lm = jnp.min(acc, axis=0, keepdims=True)               # [1, TS]
+            la = jnp.argmin(acc, axis=0, keepdims=True).astype(jnp.int32)
+            iota_m = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+            onehot = (iota_m == la).astype(jnp.bfloat16)           # exact
+            r_hi = r.astype(jnp.bfloat16)
+            r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            sel = (
+                jax.lax.dot_general(r_hi, onehot, dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(r_lo, onehot, dn,
+                                      preferred_element_type=jnp.float32)
+            )                                                      # [8, TS]
+            row = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+            cand = jnp.where(row == 0, jnp.broadcast_to(lm, sel.shape), sel)
+            cur = chan_ref[t]
+            better = lm < cur[0:1]
+            chan_ref[t] = jnp.where(
+                jnp.broadcast_to(better, cur.shape), cand, cur
+            )
+            idx_ref[t] = jnp.where(
+                jnp.broadcast_to(better, cur.shape),
+                jnp.broadcast_to(la + j * tile_m, cur.shape), idx_ref[t],
+            )
 
     return _kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_s", "tile_m", "interpret")
+    jax.jit, static_argnames=("tile_s", "tile_m", "tile_p", "interpret")
 )
 def nn_gather_batched(
     query: jax.Array,        # [1|P, Ns, 3]
@@ -213,10 +224,15 @@ def nn_gather_batched(
     *,
     tile_s: int = 2048,
     tile_m: int = 512,
+    tile_p: int = 8,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused NN + correspondence gather: returns
-    (matched_pts [P,Ns,3], matched_normals [P,Ns,3], d2 [P,Ns], idx [P,Ns])."""
+    (matched_pts [P,Ns,3], matched_normals [P,Ns,3], d2 [P,Ns], idx [P,Ns]).
+
+    tile_p: particles per grid step (clamped to the largest divisor of P;
+    1 reproduces the one-particle-per-step grid). See _make_gather_kernel.
+    """
     Pq, Ns, _ = query.shape
     P, Nm, _ = ref_pts.shape
     if Pq not in (1, P):
@@ -225,6 +241,7 @@ def nn_gather_batched(
     tm = min(tile_m, _round_up(Nm, 128))
     ns_p = _round_up(Ns, ts)
     nm_p = _round_up(Nm, tm)
+    tp = max(d for d in range(1, min(tile_p, P) + 1) if P % d == 0)
 
     qt = jnp.pad(
         query.astype(jnp.float32), ((0, 0), (0, ns_p - Ns), (0, 5))
@@ -240,22 +257,23 @@ def nn_gather_batched(
         rt = rt.at[:, Nm:, 1:4].set(_PAD_COORD)
     rt = rt.transpose(0, 2, 1)                            # [P, 8, nm_p]
 
-    kernel = _make_gather_kernel(tm, nm_p // tm)
+    kernel = _make_gather_kernel(tm, nm_p // tm, tp, Pq == 1)
     q_index = (
         (lambda p, i, j: (0, 0, i)) if Pq == 1 else (lambda p, i, j: (p, 0, i))
     )
     chan, idx = pl.pallas_call(
         kernel,
-        grid=(P, ns_p // ts, nm_p // tm),
+        grid=(P // tp, ns_p // ts, nm_p // tm),
         in_specs=[
-            pl.BlockSpec((1, 8, ts), q_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tm), lambda p, i, j: (p, 0, j),
+            pl.BlockSpec((1 if Pq == 1 else tp, 8, ts), q_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 8, tm), lambda p, i, j: (p, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, ts), lambda p, i, j: (p, 0, i),
+            pl.BlockSpec((tp, 8, ts), lambda p, i, j: (p, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, ts), lambda p, i, j: (p, 0, i),
+            pl.BlockSpec((tp, 8, ts), lambda p, i, j: (p, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -278,7 +296,8 @@ def nn_gather_batched(
 
 
 def make_corr_fn(
-    *, tile_s: int = 2048, tile_m: int = 512, interpret: bool | None = None
+    *, tile_s: int = 2048, tile_m: int = 512, tile_p: int = 8,
+    interpret: bool | None = None
 ):
     """A `corr_fn(scene [Ns,3], posed_pts [P,Nm,3], posed_normals
     [P,Nm,3]) -> (matched, mnormal, d2, idx)` drop-in for ops/icp.py,
@@ -290,7 +309,8 @@ def make_corr_fn(
         return nn_gather_batched(
             scene_pts[None] if scene_pts.ndim == 2 else scene_pts,
             posed_pts, posed_normals,
-            tile_s=tile_s, tile_m=tile_m, interpret=interpret,
+            tile_s=tile_s, tile_m=tile_m, tile_p=tile_p,
+            interpret=interpret,
         )
 
     return corr_fn
