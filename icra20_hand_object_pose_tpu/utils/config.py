@@ -75,7 +75,15 @@ class PsoConfig:
     rot_sigma: float = 0.12             # radians, initial perturbation scale
     trans_sigma: float = 0.015          # meters
     sigma_decay: float = 0.7            # anneal per PSO iteration
-    icp_every: int = 1                  # run ICP refine every k PSO iters
+    icp_every: int = 1                  # run ICP refine every k PSO iters.
+                                        # every=2 was A/B'd r3 (asym+mug
+                                        # noisy, 18 runs each): saves
+                                        # ~10 ms/frame (in-scan ICP is
+                                        # ~19 ms of 42) but costs +15%
+                                        # tracked ADD-S on the mug
+                                        # (2.13 -> 2.44 mm) — rejected;
+                                        # the noisy-VGA ≤1 mm bar has no
+                                        # slack for it
     icp_iters_inner: int = 2            # NN-search ICP iters inside each
                                         # PSO step (each runs icp.gn_reps
                                         # GN re-linearizations; A/B r2:
