@@ -231,8 +231,24 @@ def pso(
     ks = min(pso_cfg.icp_scene_subset, scene_pts.shape[0])
     km = min(pso_cfg.icp_model_subset, model_pts.shape[0])
 
+    # Observation-side scene-coverage term (ScoreConfig.scene_cov_weight):
+    # fitness += w * (explained - 1), explained = weighted fraction of
+    # scene points within scene_cov_tau of the posed model surface.
+    # Projective render-and-compare only scores MODEL samples against the
+    # image — it never pays for observed points the pose fails to explain,
+    # so a pose covering half the cloud while hiding the rest of itself
+    # behind the hand-dropped region can out-score truth (measured r3:
+    # box slid 48 mm -> fitness 1.455 vs truth-basin 1.335, and tracking
+    # seeded AT truth migrated into the slide). The term is ~0 near truth
+    # (explained ~0.99) and strongly negative for such slides (0.57), so
+    # fitness scales stay intact. In the scan it is a FREE byproduct of
+    # the inner-ICP correspondence search (scene -> posed-model NN).
+    cov_w = float(score_cfg.scene_cov_weight)
+    cov_tau = float(score_cfg.scene_cov_tau)
+    use_cov = cov_w > 0.0
+
     def refine(poses):
-        refined, _ = icp_mod.icp_batched(
+        refined, st = icp_mod.icp_batched(
             poses, scene_pts[:ks], scene_normals[:ks], scene_weights[:ks],
             model_pts[:km], model_normals[:km],
             iters=pso_cfg.icp_iters_inner,
@@ -242,8 +258,18 @@ def pso(
             step_scale=icp_cfg.step_scale,
             gn_reps=icp_cfg.gn_reps,
             nn_fn=nn_fn, corr_fn=corr_fn,
+            support_tau=cov_tau if use_cov else 0.0,
         )
-        return refined
+        return refined, st.support
+
+    def sub_support(poses):
+        """Explicit support on the inner-ICP subsets (same tier as the
+        refine byproduct), for poses that did not just run refine."""
+        return icp_mod.scene_support(
+            poses, scene_pts[:ks], scene_weights[:ks],
+            model_pts[:km], model_normals[:km],
+            tau=cov_tau, nn_fn=nn_fn, corr_fn=corr_fn,
+        )
 
     def swarm_best(poses, fitness, coverage):
         """Shard-local argmax, then (if sharded) a cross-shard agreement
@@ -260,15 +286,20 @@ def pso(
         return bp, bf, bc
 
     fitness0, coverage0 = score_fn(poses0)
+    if use_cov:
+        supp0 = sub_support(poses0)
+        fitness0 = fitness0 + cov_w * (supp0 - 1.0)
+    else:
+        supp0 = jnp.zeros((P,), poses0.dtype)
     bp0, bf0, bc0 = swarm_best(poses0, fitness0, coverage0)
     init = (
-        poses0, fitness0,
+        poses0, fitness0, supp0,
         bp0, bf0, bc0,
         jnp.asarray(1.0, poses0.dtype), key,
     )
 
     def body(carry, it):
-        poses, fitness, best_pose, best_fit, best_cov, sig, k = carry
+        poses, fitness, supp, best_pose, best_fit, best_cov, sig, k = carry
         k, k_pert, k_res = jax.random.split(k, 3)
 
         # 1. perturb: annealed SE(3) noise about each particle's own pose;
@@ -282,13 +313,23 @@ def pso(
         poses = perturbed.at[0].set(best_pose)
 
         # 2. ICP refine (data-driven local pull), every icp_every iters.
+        #    The support byproduct rides along; on skipped iterations it
+        #    is carried stale (poses moved only by the anneal-scale
+        #    perturbation — a basin-scale term tolerates that).
         if pso_cfg.icp_every > 0:
-            poses = jax.lax.cond(
-                it % pso_cfg.icp_every == 0, refine, lambda p: p, poses
+            poses, supp = jax.lax.cond(
+                it % pso_cfg.icp_every == 0,
+                lambda ps: refine(ps[0]),
+                lambda ps: ps,
+                (poses, supp),
             )
+        elif use_cov:
+            supp = sub_support(poses)
 
         # 3. render-and-compare fitness for the whole swarm.
         fitness, coverage = score_fn(poses)
+        if use_cov:
+            fitness = fitness + cov_w * (supp - 1.0)
 
         # 4. global best update (cross-shard when axis_name is set).
         bp, bf, bc = swarm_best(poses, fitness, coverage)
@@ -318,10 +359,11 @@ def pso(
             )
 
         sig = sig * pso_cfg.sigma_decay
-        return (poses, fitness, best_pose, best_fit, best_cov, sig, k), best_fit
+        return (poses, fitness, supp, best_pose, best_fit, best_cov,
+                sig, k), best_fit
 
-    (poses, fitness, best_pose, best_fit, best_cov, _, k_end), trace = jax.lax.scan(
-        body, init, jnp.arange(pso_cfg.iters)
+    (poses, fitness, _, best_pose, best_fit, best_cov, _, k_end), trace = (
+        jax.lax.scan(body, init, jnp.arange(pso_cfg.iters))
     )
 
     # Final polish at the FINE scoring tier, over the top-K swarm
@@ -340,13 +382,15 @@ def pso(
     else:
         cands = best_pose[None]
     if explorer_seeds is not None:
-        refined_seeds = refine(explorer_seeds)  # subset-cloud batched ICP
+        refined_seeds, supp_exp = refine(explorer_seeds)  # subset batched ICP
         for _ in range(2):                      # a few extra pulls: seeds
-            refined_seeds = refine(refined_seeds)  # start far from basins
+            refined_seeds, supp_exp = refine(refined_seeds)  # start far out
         f_exp, _ = score_fn(refined_seeds)
+        if use_cov:
+            f_exp = f_exp + cov_w * (supp_exp - 1.0)
         e_best = jnp.argmax(f_exp)
         cands = jnp.concatenate([cands, refined_seeds[e_best][None]])
-    polished, _ = icp_mod.icp_batched(
+    polished, pol_stats = icp_mod.icp_batched(
         cands, scene_pts, scene_normals, scene_weights,
         model_pts, model_normals,
         iters=icp_cfg.iters,
@@ -356,21 +400,40 @@ def pso(
         step_scale=icp_cfg.step_scale,
         gn_reps=icp_cfg.gn_reps,
         nn_fn=nn_fn, corr_fn=corr_fn,
+        support_tau=cov_tau if use_cov else 0.0,
     )
     f_c, c_c = score_fn_hi(cands)
     f_p, c_p = score_fn_hi(polished)
+    if use_cov:
+        # fine-tier support on the FULL clouds (same arrays the polish
+        # searched; the raw candidates need one explicit search)
+        supp_c = icp_mod.scene_support(
+            cands, scene_pts, scene_weights, model_pts, model_normals,
+            tau=cov_tau, nn_fn=nn_fn, corr_fn=corr_fn,
+        )
+        f_c = f_c + cov_w * (supp_c - 1.0)
+        f_p = f_p + cov_w * (pol_stats.support - 1.0)
     take_pol = f_p >= f_c - pso_cfg.polish_accept_tol
     f_sel = jnp.where(take_pol, f_p, f_c)
     c_sel = jnp.where(take_pol, c_p, c_c)
     p_sel = jnp.where(take_pol[:, None, None], polished, cands)
+    if use_cov:
+        s_sel = jnp.where(take_pol, pol_stats.support, supp_c)
+    else:
+        s_sel = jnp.zeros_like(f_sel)
     if axis_name is not None:
         # gather every shard's candidate set so the selection below (and
         # the multi-hypothesis extraction downstream) sees all basins
         p_sel = jax.lax.all_gather(p_sel, axis_name).reshape(-1, 4, 4)
         f_sel = jax.lax.all_gather(f_sel, axis_name).reshape(-1)
         c_sel = jax.lax.all_gather(c_sel, axis_name).reshape(-1)
+        s_sel = jax.lax.all_gather(s_sel, axis_name).reshape(-1)
     bi = jnp.argmax(f_sel)
     best_pose, best_fit, best_cov = p_sel[bi], f_sel[bi], c_sel[bi]
+    # the finisher perturbs by millimeters: its support is frozen at the
+    # selected basin's value (term0), keeping its fitness comparable to
+    # best_fit without a per-iteration NN search
+    term0 = cov_w * (s_sel[bi] - 1.0) if use_cov else 0.0
 
     # Score-only annealed finisher: ICP cannot constrain the tangential
     # DOFs of near-flat geometry (any in-face slide is a point-to-plane
@@ -453,6 +516,7 @@ def pso(
             )
             cand = cand.at[0].set(best_pose)
             f, c = score_fn_fin(cand)
+            f = f + term0
             bp, bf, bc = swarm_best(cand, f, c)
             improved = bf > best_fit
             best_pose = jnp.where(improved, bp, best_pose)

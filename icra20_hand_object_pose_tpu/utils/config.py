@@ -164,6 +164,31 @@ class ScoreConfig:
     occlusion_margin: float = 0.005     # meters; hand-occlusion z-test margin
     coverage_weight: float = 0.5        # reward for explaining observed pixels
     invalid_penalty: float = 0.3        # rendered over no-return pixels
+    scene_cov_weight: float = 0.5       # weight of the OBSERVATION-side
+                                        # support term added to fitness:
+                                        # w * (explained - 1) where
+                                        # explained = weighted fraction
+                                        # of scene points within
+                                        # scene_cov_tau of the posed
+                                        # model surface (ops/icp.py
+                                        # scene_support). Projective
+                                        # scoring alone never pays for
+                                        # UNEXPLAINED observed points, so
+                                        # a pose explaining half the
+                                        # cloud and hiding the rest of
+                                        # itself behind the hand-dropped
+                                        # region can out-score truth
+                                        # (measured r3: box slid 48 mm ->
+                                        # fitness 1.455 vs truth 1.335;
+                                        # support 0.57 vs 0.99). ~0 near
+                                        # truth, so fitness scales
+                                        # (watchdog thresholds) are
+                                        # preserved. 0 disables.
+    scene_cov_tau: float = 0.012        # meters; support distance. Must
+                                        # exceed the ICP model-subset
+                                        # point spacing (~8 mm at 512
+                                        # samples on the test objects)
+                                        # plus sensor noise
     mode: str = "point"                 # "point": projective association
                                         # (no per-particle z-buffer, the
                                         # fast path); "pixel": splat render

@@ -136,3 +136,47 @@ def test_icp_jits_and_is_deterministic():
     a = np.asarray(f(T0))
     b = np.asarray(f(T0))
     np.testing.assert_array_equal(a, b)
+
+
+def test_scene_support_separates_truth_from_slide():
+    """Observation-side support (the scene-coverage fitness term): a pose
+    explaining the whole observed cloud scores ~1; a pose slid by half an
+    object length leaves a large fraction of observed points unexplained.
+    This is the r3-measured global-init failure mode (a box slid ~48 mm
+    along its axis reached full render-and-compare coverage and OUT-SCORED
+    truth; its scene support was 0.57 vs truth's 0.99)."""
+    mp, mn, sp, sn, T_gt = _make_problem()
+    w = jnp.ones(sp.shape[0])
+    slid = np.asarray(T_gt).copy()
+    slid[:3, 3] += slid[:3, :3] @ np.asarray([0.0, 0.0, 0.05], np.float32)
+    poses = jnp.stack([jnp.asarray(T_gt), jnp.asarray(slid)])
+    supp = icp.scene_support(poses, sp, w, mp, mn, tau=0.01)
+    assert float(supp[0]) > 0.95
+    assert float(supp[1]) < 0.8
+    # weighted: zeroed points must not count
+    w2 = w.at[: sp.shape[0] // 2].set(0.0)
+    supp_w = icp.scene_support(poses, sp, w2, mp, mn, tau=0.01)
+    assert float(supp_w[0]) > 0.95
+
+
+def test_icp_batched_support_matches_scene_support():
+    """IcpStats.support (the free in-loop byproduct) must agree with an
+    explicit scene_support call at the converged poses (the byproduct is
+    at most one GN step stale; at convergence the step is ~0)."""
+    mp, mn, sp, sn, T_gt = _make_problem()
+    w = jnp.ones(sp.shape[0])
+    keys = jax.random.split(jax.random.key(5), 4)
+    T0s = jnp.stack([se3.perturb_pose(k, T_gt, 0.08, 0.008) for k in keys])
+    Tb, stats = icp.icp_batched(
+        T0s, sp, sn, w, mp, mn, iters=15, max_corresp_dist=0.05,
+        support_tau=0.01,
+    )
+    explicit = icp.scene_support(Tb, sp, w, mp, mn, tau=0.01)
+    np.testing.assert_allclose(
+        np.asarray(stats.support), np.asarray(explicit), atol=0.02
+    )
+    # support_tau=0 keeps the field all-zeros (disabled path)
+    _, stats0 = icp.icp_batched(
+        T0s, sp, sn, w, mp, mn, iters=5, max_corresp_dist=0.05
+    )
+    np.testing.assert_array_equal(np.asarray(stats0.support), 0.0)
