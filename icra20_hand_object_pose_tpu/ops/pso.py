@@ -390,6 +390,26 @@ def pso(
             f_exp = f_exp + cov_w * (supp_exp - 1.0)
         e_best = jnp.argmax(f_exp)
         cands = jnp.concatenate([cands, refined_seeds[e_best][None]])
+    n_slide = pso_cfg.slide_proposals
+    if n_slide > 1:
+        # Axial-slide proposals (see PsoConfig.slide_proposals): probe the
+        # competing translational basins along the model's principal axis
+        # directly from the incumbent. The axis is a per-object constant
+        # but cheap enough to derive in-program (3x3 eigh).
+        mc = jnp.mean(model_pts, axis=0)
+        Xc = model_pts - mc
+        _, evecs = jnp.linalg.eigh(Xc.T @ Xc)
+        ax = evecs[:, -1]                                  # model frame
+        proj = Xc @ ax
+        extent = jnp.max(proj) - jnp.min(proj)
+        half = n_slide // 2
+        fr = (jnp.arange(1, half + 1, dtype=poses0.dtype) / half
+              * pso_cfg.slide_max_frac)
+        offs = jnp.concatenate([fr, -fr]) * extent         # [2*half]
+        d_cam = best_pose[:3, :3] @ ax                     # camera frame
+        slid = jnp.tile(best_pose[None], (offs.shape[0], 1, 1))
+        slid = slid.at[:, :3, 3].add(offs[:, None] * d_cam[None])
+        cands = jnp.concatenate([cands, slid])
     polished, pol_stats = icp_mod.icp_batched(
         cands, scene_pts, scene_normals, scene_weights,
         model_pts, model_normals,

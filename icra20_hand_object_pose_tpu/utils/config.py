@@ -138,6 +138,28 @@ class PsoConfig:
                                         # of 12 small ones (the frame is
                                         # latency-bound: r2 finisher was
                                         # 37 ms of a 107 ms frame)
+    slide_proposals: int = 8            # axial-slide candidates injected
+                                        # into the fine-tier polish: copies
+                                        # of the incumbent best translated
+                                        # along the model's principal axis
+                                        # by ±k/(n/2)*slide_max_frac of its
+                                        # extent. The residual global-init
+                                        # failures are full-coverage slides
+                                        # along the elongation axis whose
+                                        # hidden end sits behind the grasp
+                                        # (measured: 28-50 mm on the 120 mm
+                                        # box/cylinder) — the TRUE pose
+                                        # out-scores them once reached, but
+                                        # no swarm seed lands in its basin.
+                                        # Sliding the converged estimate
+                                        # directly probes the competing
+                                        # translational basins; the full-ICP
+                                        # polish + fine-tier argmax keeps
+                                        # the winner. 0 disables.
+    slide_max_frac: float = 0.48        # max slide offset as a fraction of
+                                        # the model's principal-axis extent
+                                        # (offsets step by max_frac/(n/2) ≈
+                                        # the ICP capture radius)
 
 
 @dataclass(frozen=True)

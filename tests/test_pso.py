@@ -127,6 +127,60 @@ def test_pso_no_icp_still_improves():
     assert float(add1) < float(add0)
 
 
+def test_slide_proposals_escape_axial_fixed_point():
+    """PsoConfig.slide_proposals: a pose slid along the box's long axis is
+    an exact point-to-plane fixed point once the end-face evidence is
+    removed from the ICP cloud (every side-surface residual is zero under
+    an axial slide), so neither the in-scan ICP nor the final polish can
+    recover it — but the axial-slide candidate family probes the true
+    basin directly and the fine-tier argmax (which still sees the full
+    observed image, where the slid render misses the observed end) picks
+    it up. With slide_proposals=0 the run must stay stuck."""
+    mesh = meshio.make_test_object("box")          # extents (.05,.05,.12)
+    mpts, mnrm = mesh.sample_surface(512, seed=0)
+    mpts, mnrm = jnp.asarray(mpts), jnp.asarray(mnrm)
+    rpts, rnrm = mesh.sample_surface(512, seed=1)
+    rpts, rnrm = jnp.asarray(rpts), jnp.asarray(rnrm)
+    rw = jnp.ones(512)
+    T_gt = jnp.asarray(se3.make_pose(jnp.eye(3), jnp.asarray([0.0, 0.0, 0.4])))
+    scene_pts = se3.transform_points(T_gt, mpts)
+    scene_nrm = se3.rotate_vectors(T_gt, mnrm)
+    # ICP sees only the side surfaces (axial slide = zero p2pl residual);
+    # the observed IMAGE still contains the full box including its ends
+    w_icp = (jnp.abs(mpts[:, 2]) < 0.045).astype(jnp.float32)
+    obs = render.splat_depth(se3.transform_points(T_gt, rpts), rw,
+                             radius=1, **CAM)
+    obs_valid = jnp.isfinite(obs)
+    obs = jnp.where(obs_valid, obs, 0.0)
+    hand_depth = jnp.full((CAM["height"], CAM["width"]), jnp.inf)
+
+    slide = 0.04                                   # meters, along model z
+    T0 = T_gt.at[:3, 3].add(T_gt[:3, :3] @ jnp.asarray([0.0, 0.0, slide]))
+    poses0 = jnp.broadcast_to(T0, (4, 4, 4))
+
+    def run(n_slide):
+        res = pso.pso(
+            jax.random.key(8), poses0,
+            scene_pts, scene_nrm, w_icp,
+            mpts, mnrm, rpts, rnrm, rw,
+            obs, obs_valid, hand_depth,
+            splat_radius=1, **CAM,
+            pso_cfg=PsoConfig(
+                particles=4, iters=1, rot_sigma=1e-4, trans_sigma=1e-5,
+                icp_every=0, elite_frac=0.25, polish_top_k=2,
+                finish_iters=0, slide_proposals=n_slide,
+            ),
+            icp_cfg=IcpConfig(iters=6, max_corresp_dist=0.02),
+            score_cfg=ScoreConfig(),
+        )
+        return float(se3.add_error(res.best_pose, T_gt, mpts))
+
+    add_stuck = run(0)
+    add_slide = run(8)
+    assert add_stuck > 0.025, f"baseline unexpectedly recovered: {add_stuck}"
+    assert add_slide < 0.010, f"slide proposals failed: {add_slide}"
+
+
 def test_diverse_hypotheses_picks_distinct_basins():
     from icra20_hand_object_pose_tpu.ops.pso import diverse_hypotheses
     from icra20_hand_object_pose_tpu.utils import se3
