@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import knn, preprocess, pso, render
+from ..ops import score as score_ops
 from ..utils import se3
 from ..utils.config import EstimatorConfig
 from .hand import HandModel
@@ -89,14 +90,16 @@ class Estimator:
         self.lo_cx = cam.cx / self.render_factor
         self.lo_cy = cam.cy / self.render_factor
         # one jit per (n_particles,) — track and init modes compile separately
-        statics = ("n_particles", "pso_iters", "resample_after", "prescreen")
+        statics = ("n_particles", "pso_iters", "resample_after", "prescreen",
+                   "init_scoring")
         if self.mesh is None:
             self._step_jit = jax.jit(self._frame_step, static_argnames=statics)
         else:
             self._step_jit = jax.jit(self._sharded_step, static_argnames=statics)
 
     def _sharded_step(self, *args, n_particles: int, pso_iters: int,
-                      resample_after: int = 0, prescreen: int = 0):
+                      resample_after: int = 0, prescreen: int = 0,
+                      init_scoring: bool = False):
         """shard_map the whole frame program: inputs replicated, the swarm
         generated shard-locally (axis_index-folded RNG) so only tiny
         global-best all_gathers cross ICI. Outputs are replicated."""
@@ -115,6 +118,7 @@ class Estimator:
             pso_iters=pso_iters,
             resample_after=resample_after,
             prescreen=prescreen,
+            init_scoring=init_scoring,
         )
         sm = shard_map(
             fn, mesh=self.mesh,
@@ -205,9 +209,21 @@ class Estimator:
         pso_iters: int,
         resample_after: int = 0,
         prescreen: int = 0,
+        init_scoring: bool = False,
     ) -> FrameResult:
         cfg = self.cfg
         cam = cfg.camera
+        # Global (re-)registration ranks candidates separated by tens of
+        # millimeters under grasp occlusion: there, hand-dropped pixels
+        # must not drag the coverage of the genuinely occluded TRUE pose
+        # (ScoreConfig.neutral_cov_exempt). Tracking keeps the plain
+        # denominator — the exemption forms a gradient toward the hand
+        # region that measurably hurt noisy mm-scale tracking (pinned
+        # accuracy gates).
+        score_cfg = (
+            dataclasses.replace(cfg.score, neutral_cov_exempt=True)
+            if init_scoring else cfg.score
+        )
         axis_name = self.axis_name if self.mesh is not None else None
         prev_poses = prev_pose if prev_pose.ndim == 3 else prev_pose[None]
         n_hyp = prev_poses.shape[0]
@@ -319,7 +335,11 @@ class Estimator:
                 scene.depth, scene.valid, hd_lo,
                 fx=self.lo_fx, fy=self.lo_fy, cx=self.lo_cx, cy=self.lo_cy,
                 height=self.lo_h, width=self.lo_w,
-                splat_radius=1, score_cfg=cfg.score,
+                splat_radius=1, score_cfg=score_cfg,
+                observed_enc=score_ops.encode_observed(
+                    scene.depth, scene.valid, score_cfg.ghost_dilate,
+                    neutral=scene.neutral,
+                ),
             )
             # STRATIFIED seeding: half the swarm from the best raw scores,
             # half strided across the whole orientation grid regardless of
@@ -373,11 +393,13 @@ class Estimator:
             fx=self.lo_fx, fy=self.lo_fy, cx=self.lo_cx, cy=self.lo_cy,
             height=self.lo_h, width=self.lo_w,
             splat_radius=1,
-            pso_cfg=pso_cfg, icp_cfg=cfg.icp, score_cfg=cfg.score,
+            pso_cfg=pso_cfg, icp_cfg=cfg.icp, score_cfg=score_cfg,
             nn_fn=self.nn_fn, corr_fn=self.corr_fn, axis_name=axis_name,
             explorer_seeds=explorer_seeds,
+            observed_neutral=scene.neutral,
             observed_hi=(
-                scene.depth_full, scene.valid_full, hd_hi,
+                scene.depth_full, scene.valid_full, scene.neutral_full,
+                hd_hi,
                 cam.fx, cam.fy, cam.cx, cam.cy, cam.height, cam.width,
             ),
         )
@@ -490,6 +512,7 @@ class Estimator:
             n_particles=args["n_particles"], pso_iters=args["pso_iters"],
             resample_after=args.get("resample_after", 0),
             prescreen=args.get("prescreen", 0),
+            init_scoring=(mode == "init"),
         )
         return dyn, static
 

@@ -34,6 +34,16 @@ class SceneCloud(NamedTuple):
     depth_full: [H,W] full-resolution depth — the fine scoring tier
              (final polish acceptance + finisher)
     valid_full: [H,W]
+    neutral / neutral_full: pixels the camera MEASURED in range but that
+             were excluded from object evidence (hand segmentation drop,
+             speckle removal). Scoring must treat them as no-evidence,
+             not as free space: the reference's occlusion reasoning never
+             penalizes a hypothesis for rendering onto a surface that was
+             merely claimed by the hand (SURVEY.md §3 render-and-compare
+             scorer). Measured failure without this class: a grasped
+             object's samples on conservatively-dropped pixels paid the
+             ghost penalty (34/206 visible samples at box init t=17),
+             letting a 24 mm slide out-score truth at the fine tier.
     """
     points: jax.Array
     normals: jax.Array
@@ -42,6 +52,8 @@ class SceneCloud(NamedTuple):
     valid: jax.Array
     depth_full: jax.Array
     valid_full: jax.Array
+    neutral: jax.Array
+    neutral_full: jax.Array
 
 
 def speckle_mask(
@@ -85,6 +97,17 @@ def downsample_depth(depth: jax.Array, valid: jax.Array, factor: int) -> tuple[j
     dmin = jnp.min(jnp.min(d, axis=3), axis=1)
     v = jnp.isfinite(dmin)
     return jnp.where(v, dmin, 0.0), v
+
+
+def downsample_mask_any(mask: jax.Array, factor: int) -> jax.Array:
+    """Any-pool a bool mask by `factor` (a low-res cell inherits the class
+    if any constituent pixel carries it)."""
+    if factor == 1:
+        return mask
+    H, W = mask.shape
+    Hc, Wc = H // factor, W // factor
+    m = mask[: Hc * factor, : Wc * factor].reshape(Hc, factor, Wc, factor)
+    return jnp.any(jnp.any(m, axis=3), axis=1)
 
 
 def subsample_cloud(
@@ -189,7 +212,8 @@ def preprocess_frame(
     `outlier_tau` > 0 enables grid statistical outlier removal
     (speckle_mask) before normals/subsampling.
     """
-    valid = (depth_m > depth_min) & (depth_m < depth_max) & jnp.isfinite(depth_m)
+    in_rng = (depth_m > depth_min) & (depth_m < depth_max) & jnp.isfinite(depth_m)
+    valid = in_rng
     if extra_invalid is not None:
         valid = valid & (~extra_invalid)
     if outlier_tau > 0.0:
@@ -197,6 +221,8 @@ def preprocess_frame(
             depth_m, valid, tau=outlier_tau,
             min_neighbors=outlier_min_neighbors,
         )
+    # measured-but-excluded pixels (hand drop, speckle): no-evidence class
+    neutral_full = in_rng & (~valid)
     depth_c = jnp.where(valid, depth_m, 0.0)
     cloud = camera.backproject(depth_c, fx, fy, cx, cy)
     normals = camera.grid_normals(cloud, valid)
@@ -207,5 +233,7 @@ def preprocess_frame(
     nvalid = valid & (jnp.sum(normals * normals, axis=-1) > 0.5)
     pts, nrm, w = subsample_cloud(key, cloud, normals, nvalid, n_points)
     d_lo, v_lo = downsample_depth(depth_c, valid, render_factor)
+    n_lo = downsample_mask_any(neutral_full, render_factor)
     return SceneCloud(points=pts, normals=nrm, weights=w, depth=d_lo,
-                      valid=v_lo, depth_full=depth_c, valid_full=valid)
+                      valid=v_lo, depth_full=depth_c, valid_full=valid,
+                      neutral=n_lo, neutral_full=neutral_full)

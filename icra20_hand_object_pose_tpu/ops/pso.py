@@ -87,6 +87,7 @@ def score_particles(
             ghost_dilate=score_cfg.ghost_dilate,
             observed_enc=observed_enc,
             mxu_tables=mxu_tables,
+            neutral_cov_exempt=score_cfg.neutral_cov_exempt,
         )
     else:
         depths = render.splat_depth_batched(
@@ -130,6 +131,9 @@ def pso(
     nn_fn=None,
     corr_fn=None,
     axis_name: str | None = None,
+    observed_neutral: jax.Array | None = None,  # [h,w] measured-but-
+                       # excluded pixels (hand drop/speckle) — encoded as
+                       # the no-evidence class, see score.encode_observed
     observed_hi: tuple | None = None,
     explorer_seeds: jax.Array | None = None,  # [E,4,4] global-search seeds
                        # refined OUTSIDE the swarm (in-swarm explorers get
@@ -158,15 +162,16 @@ def pso(
 
     # Two-tier scoring: the basin search (scan) scores against the
     # render-factor tier; the polish acceptance + finisher score against
-    # `observed_hi` = (depth, valid, hand_depth, fx, fy, cx, cy, h, w) at
-    # full resolution, whose silhouette evidence is pixel-sharp. The
-    # coarse tier's gathers index a 16x smaller table (measurably
+    # `observed_hi` = (depth, valid, neutral, hand_depth, fx, fy, cx, cy,
+    # h, w) at full resolution, whose silhouette evidence is pixel-sharp.
+    # The coarse tier's gathers index a 16x smaller table (measurably
     # cheaper) and the scan does not need sub-mm discrimination.
     kr = min(pso_cfg.scan_render_subset, render_pts.shape[0])
     # encode the observed images ONCE per tier, outside the scans: the
     # silhouette-band dilation must not be recomputed every iteration
     enc_lo = score.encode_observed(
-        observed_depth, observed_valid, score_cfg.ghost_dilate
+        observed_depth, observed_valid, score_cfg.ghost_dilate,
+        neutral=observed_neutral,
     )
     # MXU gather tables (separable one-hot lookups, ops/gather_mxu):
     # split the encoded-observed and hand images into double-bf16 pairs
@@ -197,8 +202,10 @@ def pso(
         mxu_tables=mxu_lo,
     )
     if observed_hi is not None:
-        (d_hi, v_hi, h_hi, fx_h, fy_h, cx_h, cy_h, hh, wh) = observed_hi
-        enc_hi = score.encode_observed(d_hi, v_hi, score_cfg.ghost_dilate)
+        (d_hi, v_hi, n_hi, h_hi,
+         fx_h, fy_h, cx_h, cy_h, hh, wh) = observed_hi
+        enc_hi = score.encode_observed(
+            d_hi, v_hi, score_cfg.ghost_dilate, neutral=n_hi)
         # fine tier discriminates millimeters: its own (smaller)
         # saturation scale — at the coarse tau a mm-wrong pose still
         # collects near-full support and the finisher cannot rank it

@@ -49,31 +49,50 @@ class ScoreTerms(NamedTuple):
 
 
 # invalid-pixel classes in the encoded observed image (encode_observed)
-_FAR = 1e9    # no return, not adjacent to the silhouette -> ghost penalty
-_NEAR = -1.0  # no return but within ghost_dilate px of a return -> neutral
+_FAR = 1e9      # no return, not adjacent to the silhouette -> ghost penalty
+_NEAR = -1.0    # no return but within ghost_dilate px of a return: no ghost
+                # penalty (silhouette tolerance band)
+_NEUTRAL = -2.0  # measured in range but excluded from evidence by
+                # segmentation (hand drop, speckle): no ghost penalty, and
+                # exempt from the coverage denominator when
+                # neutral_cov_exempt is set (init-mode scoring — see
+                # compare_points). All sentinels exactly bf16-representable:
+                # the MXU gather tables split them hi/lo without rounding.
 
 
 def encode_observed(
     observed: jax.Array,        # [H,W] depth, 0 invalid
     observed_valid: jax.Array,  # [H,W] bool
     ghost_dilate: int = 1,
+    neutral: jax.Array | None = None,  # [H,W] measured-but-excluded px
 ) -> jax.Array:
-    """Fold (depth, valid, near-silhouette) into ONE image so point
-    scoring classifies each sample with a single gather: valid pixels
-    carry their depth, no-return pixels carry _NEAR within `ghost_dilate`
-    px of a valid return (silhouette tolerance band — neutral evidence)
-    and _FAR beyond it (ghost penalty). Called once per frame/tier in
+    """Fold (depth, valid, near-silhouette, neutral) into ONE image so
+    point scoring classifies each sample with a single gather: valid
+    pixels carry their depth, no-return pixels carry _NEAR within
+    `ghost_dilate` px of a valid return (silhouette tolerance band —
+    neutral evidence) and _FAR beyond it (ghost penalty). `neutral` marks
+    pixels the camera measured in range that segmentation excluded (hand
+    drop, speckle — preprocess.SceneCloud.neutral_full): they are NOT
+    free space, so a hypothesis rendering onto them is no-evidence
+    (_NEUTRAL — never a ghost). Without this class a grasped true pose
+    pays the ghost penalty on every sample the hand drop conservatively
+    took away (measured: 34/206 visible samples at box init t=17, enough
+    for a 24 mm slide to win the fine tier). Both no-evidence classes
+    still count in the coverage denominator — see the measured rationale
+    at the denominator in compare_points. Called once per frame/tier in
     ops/pso.py, OUTSIDE the scan, so the dilation is never recomputed in
     the hot loop."""
     if ghost_dilate > 0:
         k = 2 * ghost_dilate + 1
-        v_dil = jax.lax.reduce_window(
+        near = jax.lax.reduce_window(
             observed_valid, False, jax.lax.bitwise_or,
             window_dimensions=(k, k), window_strides=(1, 1), padding="SAME",
         )
-        fill = jnp.where(v_dil, _NEAR, _FAR)
+        fill = jnp.where(near, _NEAR, _FAR)
     else:
         fill = jnp.full_like(observed, _FAR)
+    if neutral is not None:
+        fill = jnp.where(neutral, _NEUTRAL, fill)
     return jnp.where(observed_valid, observed, fill)
 
 
@@ -251,6 +270,7 @@ def compare_points(
     ghost_dilate: int = 1,
     observed_enc: jax.Array | None = None,
     mxu_tables: tuple | None = None,
+    neutral_cov_exempt: bool = False,
 ) -> ScoreTerms:
     """Point-wise render-and-compare: projective association instead of a
     per-particle z-buffer.
@@ -408,7 +428,24 @@ def compare_points(
     ) / jnp.maximum(n_counted, 1.0)
     fitness = jnp.where(n_counted > 0, fitness, -wrong_side_penalty)
 
-    n_vis = jnp.maximum(jnp.sum(vis.astype(dt), axis=-1), 1.0)
+    # coverage denominator: by default ALL front-facing in-bounds
+    # samples, including those on no-evidence pixels (_NEAR band,
+    # _NEUTRAL). Universal exemptions regressed the pinned tracking
+    # gates: exempting the _NEAR band blunted mm discrimination (asym
+    # clean frame-0 1.0 -> 3.2 mm), and always exempting _NEUTRAL
+    # created a gradient TOWARD the hand region — hiding samples on
+    # dropped pixels inflates coverage for drifted poses as much as for
+    # truth (asym noisy 1.8 -> >2.4 mm). `neutral_cov_exempt` enables
+    # the _NEUTRAL exemption for GLOBAL REGISTRATION only (the estimator
+    # flips it for its init program): there candidates differ by tens of
+    # millimeters and the grasped true pose must not lose the ranking
+    # for coverage it physically cannot have (box/cyl frame-0 init
+    # 19/20 -> 20/20 at reduced res).
+    n_vis = jnp.sum(vis.astype(dt), axis=-1)
+    if neutral_cov_exempt:
+        no_ev = vis & (e_ref < 0.5 * (_NEAR + _NEUTRAL))
+        n_vis = n_vis - jnp.sum(no_ev.astype(dt), axis=-1)
+    n_vis = jnp.maximum(n_vis, 1.0)
     coverage = jnp.sum(match.astype(dt), axis=-1) / n_vis
     return ScoreTerms(
         fitness=fitness, coverage=coverage, support=support, counted=n_counted

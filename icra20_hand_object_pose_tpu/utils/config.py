@@ -227,6 +227,20 @@ class ScoreConfig:
                                         # count-bound TPU gather was ~70%
                                         # of r2 frame latency); "take":
                                         # plain XLA gathers (oracle path)
+    neutral_cov_exempt: bool = False    # exclude samples on segmentation-
+                                        # dropped (_NEUTRAL) pixels from
+                                        # the coverage denominator. The
+                                        # estimator enables this for the
+                                        # INIT program only: global
+                                        # registration must not drag the
+                                        # grasped true pose's coverage
+                                        # for hand-hidden samples
+                                        # (reduced-res box/cyl frame-0
+                                        # init 19/20 -> 20/20), but in
+                                        # TRACK mode the exemption forms
+                                        # a mm-scale gradient toward the
+                                        # hand region (asym noisy pinned
+                                        # gate 1.8 -> >2.4 mm)
 
 
 @dataclass(frozen=True)

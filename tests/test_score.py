@@ -181,3 +181,57 @@ def test_ghost_dilation_tolerates_silhouette_band():
     pts2, nrm2 = mk(34.6)
     t_far = _compare(pts2, nrm2, obs, valid, subpixel=False, ghost_dilate=1)
     assert float(t_far.counted) == 1.0 and float(t_far.support) == 0.0
+
+
+def test_neutral_class_no_ghost_no_coverage_charge():
+    """Segmentation-dropped pixels (encode_observed neutral=...) carry
+    no ghost penalty: the grasped TRUE pose must not pay the fitness
+    penalty for pixels the hand drop conservatively took away (the
+    box-init t=17 failure class). A sample on a plain no-return pixel at
+    the same distance from the silhouette stays a ghost. By default
+    neutral samples stay in the coverage denominator (exempting them
+    measurably pulled noisy tracking toward the hand region); with
+    neutral_cov_exempt=True (init-mode scoring) they leave it — see the
+    comment in compare_points."""
+    obs = np.zeros((48, 64), np.float32)
+    valid = np.zeros_like(obs, bool)
+    obs[:, :32] = 0.5
+    valid[:, :32] = True
+    neutral = np.zeros_like(valid)
+    neutral[:, 40:48] = True             # e.g. hand-dropped strip
+    # two matching samples on the surface + one sample deep in the strip
+    us = np.array([10.0, 20.0, 44.0], np.float32)
+    vs = np.full(3, 20.0, np.float32)
+    pts, nrm = _plane_points(us, vs, lambda uu, vv: np.full_like(uu, 0.5))
+    enc_n = score.encode_observed(
+        jnp.asarray(obs), jnp.asarray(valid), 1, neutral=jnp.asarray(neutral))
+    t_n = score.compare_points(
+        pts, nrm, jnp.asarray(obs), jnp.asarray(valid), None,
+        fx=100.0, fy=100.0, cx=32.0, cy=24.0, height=48, width=64,
+        depth_tau=0.01, subpixel=False, observed_enc=enc_n,
+    )
+    enc_g = score.encode_observed(jnp.asarray(obs), jnp.asarray(valid), 1)
+    t_g = score.compare_points(
+        pts, nrm, jnp.asarray(obs), jnp.asarray(valid), None,
+        fx=100.0, fy=100.0, cx=32.0, cy=24.0, height=48, width=64,
+        depth_tau=0.01, subpixel=False, observed_enc=enc_g,
+    )
+    # without the neutral class: strip sample is a counted ghost (pays
+    # invalid_penalty in fitness)
+    assert float(t_g.counted) == 3.0 and float(t_g.fitness) < 0.9
+    # with it: the strip sample is no-evidence for fitness (full score
+    # from the 2 matches) but still in the coverage denominator
+    assert float(t_n.counted) == 2.0
+    np.testing.assert_allclose(float(t_n.fitness), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(t_n.coverage), 2.0 / 3.0, atol=1e-6)
+    np.testing.assert_allclose(float(t_g.coverage), 2.0 / 3.0, atol=1e-6)
+    # init-mode scoring additionally exempts the neutral sample from the
+    # coverage denominator (neutral_cov_exempt=True)
+    t_e = score.compare_points(
+        pts, nrm, jnp.asarray(obs), jnp.asarray(valid), None,
+        fx=100.0, fy=100.0, cx=32.0, cy=24.0, height=48, width=64,
+        depth_tau=0.01, subpixel=False, observed_enc=enc_n,
+        neutral_cov_exempt=True,
+    )
+    np.testing.assert_allclose(float(t_e.coverage), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(t_e.fitness), 1.0, atol=1e-6)
