@@ -83,3 +83,50 @@ def test_global_init_success(shape, min_ok):
         )
         n_ok += add_s_error(np.asarray(out1.pose), pose1, dense) < 0.1 * obj.diameter
     assert n_ok >= min_ok, f"{shape}: only {n_ok}/{N_TRIALS} recovered"
+
+
+@pytest.mark.parametrize("shape,trial", [("box", 17), ("cylinder", 17)])
+def test_grasp_occluded_slide_case(shape, trial):
+    """Pinned hardest-case trials from the round-3 init diagnosis (the
+    same RNG stream as the 20-trial sweep, trial t=17): a grasp drops
+    exactly the depth evidence that disambiguates a large axial
+    slide/flip, and before the _NEUTRAL pixel class (encode_observed
+    neutral=..., ScoreConfig.neutral_cov_exempt in init mode) the true
+    pose paid ghost-penalty + coverage for hand-hidden samples and LOST
+    the fine-tier ranking to a 24-47 mm slide. Frame-0 success required
+    — this is the failure class the neutral class fixes."""
+    cfg = EstimatorConfig(
+        camera=CAM, scene_points=1024,
+        pso=PsoConfig(particles=256, iters=10),
+        tracker=TrackerConfig(reinit_particles=512),
+    )
+    mesh = meshio.make_test_object(shape)
+    hand = make_t42_hand()
+    obj = ObjectModel(mesh, model_points=1024, render_points=1024)
+    est = Estimator(obj, hand, cfg)
+    dense, _ = mesh.sample_surface(8192, seed=123)
+    hq = np.asarray([0.45, 0.45], np.float32)
+    # reproduce the diagnosis RNG stream: 3 uniforms consumed per trial
+    rng = np.random.default_rng(0)
+    draws = rng.uniform(size=(trial + 1, 3))
+    keys = jax.random.split(jax.random.key(0), 20)
+    R = np.asarray(se3.random_rotation(jax.random.fold_in(keys[trial], 1)))
+    pose_gt = np.eye(4, dtype=np.float32)
+    pose_gt[:3, :3] = R
+    u = draws[trial]
+    pose_gt[:3, 3] = [-0.06 + 0.12 * u[0], -0.05 + 0.10 * u[1],
+                      0.40 + 0.20 * u[2]]
+    hb = hand_base_for_grasp(pose_gt)
+    depth = render_frame_fast(
+        mesh, pose_gt, hand, hb, hq, CAM, noise_sigma=0.001,
+        rng=np.random.default_rng(1000 + trial),
+    )
+    out = est.estimate(
+        jnp.asarray(depth), jnp.eye(4), jnp.asarray(hb), jnp.asarray(hq),
+        key=keys[trial], mode="init",
+    )
+    err = add_s_error(np.asarray(out.pose), pose_gt, dense)
+    assert err < 0.1 * obj.diameter, (
+        f"{shape} t={trial}: frame-0 init ADD-S {err*1000:.1f} mm — "
+        f"grasp-occluded slide case regressed"
+    )
