@@ -162,3 +162,36 @@ def test_preprocess_frame_outlier_gate():
     assert np.all(np.abs(z_on - 0.5) < 0.05)
     assert not np.asarray(sc_on.valid_full)[4, 4]
     assert np.asarray(sc_off.valid_full)[4, 4]
+
+
+def test_neutral_class_tracks_excluded_measurements():
+    """SceneCloud.neutral/neutral_full mark pixels the camera measured in
+    range that segmentation excluded (extra_invalid drop, speckle), and
+    NOT out-of-range/missing pixels; the low-res mask is an any-pool of
+    the full-res one (a cell inherits the class from any constituent)."""
+    depth = plane_depth(np.array([0.0, 0.0, 1.0]), 0.5)
+    depth[:8, :8] = 0.0                      # sensor dropout: not neutral
+    mask = np.zeros((H, W), bool)
+    mask[:, W // 2:] = True                  # e.g. hand drop: neutral
+    sc = preprocess.preprocess_frame(
+        jax.random.key(0), jnp.asarray(depth),
+        fx=FX, fy=FY, cx=CX, cy=CY,
+        depth_min=0.1, depth_max=2.0, n_points=256,
+        extra_invalid=jnp.asarray(mask), render_factor=4,
+    )
+    nf = np.asarray(sc.neutral_full)
+    assert nf[:, W // 2:].all(), "dropped measured pixels must be neutral"
+    assert not nf[8:, : W // 2].any(), "kept pixels must not be neutral"
+    assert not nf[:8, :8].any(), "no-return pixels must not be neutral"
+    # low-res any-pool: cells straddling the half-image boundary included
+    nl = np.asarray(sc.neutral)
+    assert nl.shape == (H // 4, W // 4)
+    assert nl[:, (W // 2) // 4:].all()
+    assert not nl[2:, : (W // 2) // 4 - 1].any()
+
+
+def test_downsample_mask_any():
+    m = np.zeros((8, 8), bool)
+    m[3, 5] = True
+    out = np.asarray(preprocess.downsample_mask_any(jnp.asarray(m), 4))
+    assert out.shape == (2, 2) and out[0, 1] and out.sum() == 1
