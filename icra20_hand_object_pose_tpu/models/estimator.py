@@ -384,6 +384,16 @@ class Estimator:
             self.cfg.pso, particles=n_particles, iters=pso_iters,
             resample_after=resample_after,
         )
+        if init_scoring:
+            # global registration keeps the heavier in-scan ICP cadence
+            # (TrackerConfig.reinit_icp_*): basin capture needs the pull,
+            # and init cost is amortized over the tracked sequence
+            tr = self.cfg.tracker
+            pso_cfg = dataclasses.replace(
+                pso_cfg,
+                icp_iters_inner=tr.reinit_icp_iters_inner,
+                icp_model_subset=tr.reinit_icp_model_subset,
+            )
         result = pso.pso(
             k_pso, poses0,
             scene.points, scene.normals, weights,

@@ -57,14 +57,21 @@ class IcpConfig:
     normal_angle_max_deg: float = 60.0  # reject normal-incompatible pairs
     damping: float = 1e-6               # Levenberg damping on the 6x6 solve
     step_scale: float = 1.0
-    gn_reps: int = 2                    # GN re-linearizations per NN
+    gn_reps: int = 3                    # GN re-linearizations per NN
                                         # search (correspondence reuse —
                                         # each rep re-poses the matched
                                         # pairs by the increment; the NN
                                         # search dominates ICP cost).
                                         # A/B r2: (2 searches x 2 reps)
                                         # beat (3 x 1) on both wall time
-                                        # and tracked ADD
+                                        # and tracked ADD. A/B r3 (6
+                                        # noisy seeds x asym+mug, robust
+                                        # stats): 1 search x 3 reps +
+                                        # model subset 256 beat 2x2/512
+                                        # on MEDIAN tracked ADD (1.1-1.2
+                                        # vs 1.65-1.75 mm) with
+                                        # comparable tails, at 34 vs
+                                        # 46 ms/frame
 
 
 @dataclass(frozen=True)
@@ -84,15 +91,21 @@ class PsoConfig:
                                         # (2.13 -> 2.44 mm) — rejected;
                                         # the noisy-VGA ≤1 mm bar has no
                                         # slack for it
-    icp_iters_inner: int = 2            # NN-search ICP iters inside each
+    icp_iters_inner: int = 1            # NN-search ICP iters inside each
                                         # PSO step (each runs icp.gn_reps
                                         # GN re-linearizations; A/B r2:
-                                        # 2x2 beat 3x1 and 5x1 on wall
-                                        # time AND tracked ADD — the scan
-                                        # repeats the pull every iteration
-                                        # anyway)
+                                        # 2x2 beat 3x1 and 5x1. A/B r3:
+                                        # 1 search x 3 reps halves the
+                                        # in-scan search count — see
+                                        # IcpConfig.gn_reps — the scan
+                                        # repeats the pull every
+                                        # iteration anyway)
     icp_scene_subset: int = 512         # stochastic inner ICP: scene points
-    icp_model_subset: int = 512         # stochastic inner ICP: model points
+                                        # (768 A/B'd r3: slower AND worse)
+    icp_model_subset: int = 256         # stochastic inner ICP: model points
+                                        # (512 -> 256 A/B r3: -4 ms with
+                                        # the better median; the polish
+                                        # still uses the full clouds)
     elite_frac: float = 0.25            # resample worst particles around best
     resample_after: int = 0             # first PSO iteration at which the
                                         # elite resample may fire; init
@@ -118,7 +131,10 @@ class PsoConfig:
     scan_render_subset: int = 512       # scoring samples for the coarse
                                         # basin-search tier (full set is
                                         # used at the fine tier)
-    finish_iters: int = 3               # score-only annealed finisher stage
+    finish_iters: int = 4               # score-only annealed finisher stage
+                                        # (3 -> 4 A/B r3: free in wall
+                                        # time at the new ICP cadence,
+                                        # trims the noisy-tail p90)
     finish_particles: int = 512         # finisher batch size (per shard)
     finish_sigma_frac: float = 0.15     # finisher start sigma (x rot/trans)
     finish_patch: int = 16              # px; per-point MXU gather patch
@@ -298,6 +314,22 @@ class TrackerConfig:
                                             # with a weakened per-frame
                                             # search (low iters/particles).
                                             # Applied when n_hypotheses==1.
+    reinit_icp_iters_inner: int = 2         # in-scan NN searches per PSO
+                                            # iteration for the INIT
+                                            # program (track mode: see
+                                            # PsoConfig.icp_iters_inner).
+                                            # r3's track cadence cut
+                                            # (1 search x 3 reps, model
+                                            # subset 256) costs basin-
+                                            # capture strength exactly
+                                            # where it matters most —
+                                            # global registration ranks
+                                            # basins tens of mm apart —
+                                            # and init runs once per
+                                            # (re-)registration, so the
+                                            # heavier pull is amortized
+    reinit_icp_model_subset: int = 512      # inner-ICP model points for
+                                            # the init program
     reinit_prescreen: int = 4096            # orientations scored ONCE
                                             # (no ICP) before the global
                                             # search; top reinit_particles
