@@ -296,6 +296,9 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    from .utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(
         prog="icra20_hand_object_pose_tpu",
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter,

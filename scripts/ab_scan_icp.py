@@ -27,6 +27,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from icra20_hand_object_pose_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
 
 
 def run_variant(name, pso_kw, icp_kw, frames, seeds, shape="asym"):

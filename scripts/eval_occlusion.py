@@ -26,6 +26,8 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from icra20_hand_object_pose_tpu.utils.jaxcache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
 
 
 def measured_occlusion(mesh, pose, hand, hb, hq, cam, segment_dist=0.008):
