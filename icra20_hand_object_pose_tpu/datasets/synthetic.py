@@ -25,6 +25,59 @@ from ..utils import meshio, se3
 from ..utils.config import CameraIntrinsics
 
 
+@dataclass
+class SensorModel:
+    """Realistic depth-sensor error model (VERDICT r3 item 3).
+
+    The r1-r3 synthetic frames used flat Gaussian noise + dropout only —
+    a favorable regime: the real data path reads 16-bit millimeter PNGs
+    (quantized), structured-light/ToF noise grows ~quadratically with
+    range, and depth edges jitter laterally by a fraction of a pixel.
+    This model applies, in order:
+
+      1. lateral edge jitter: each pixel reads its depth from a
+         position offset by ~N(0, edge_sigma_px) pixels — flat surfaces
+         are unaffected (neighbor depth ~= own depth), silhouette and
+         step edges wobble by sub-pixel amounts like a real sensor;
+      2. axial noise sigma(z) = noise_sigma * (z / z_ref)^2 (Kinect-
+         style; z_ref keeps `noise_sigma` meaning "sigma at 0.5 m");
+      3. quantization to `quantize` meters (1 mm = the 16-bit PNG LSB);
+      4. `dropout` fraction of pixels invalidated.
+    """
+    noise_sigma: float = 0.001   # meters at z_ref
+    z_ref: float = 0.5           # meters; sigma reference range
+    depth_sq_noise: bool = True  # sigma grows (z/z_ref)^2; False = flat
+    quantize: float = 0.001      # meters; 0 disables (16-bit mm PNG LSB)
+    edge_sigma_px: float = 0.5   # lateral jitter stddev in pixels
+    dropout: float = 0.02
+
+
+def apply_sensor_model(
+    depth: np.ndarray, sm: SensorModel, rng: np.random.Generator
+) -> np.ndarray:
+    """Apply the SensorModel to a clean depth render (0 = invalid)."""
+    d = np.asarray(depth, np.float32).copy()
+    H, W = d.shape
+    if sm.edge_sigma_px > 0:
+        dv = np.rint(rng.normal(0, sm.edge_sigma_px, d.shape)).astype(np.int64)
+        du = np.rint(rng.normal(0, sm.edge_sigma_px, d.shape)).astype(np.int64)
+        vv, uu = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        v2 = np.clip(vv + dv, 0, H - 1)
+        u2 = np.clip(uu + du, 0, W - 1)
+        d = d[v2, u2]
+    valid = d > 0
+    if sm.noise_sigma > 0:
+        sig = sm.noise_sigma
+        if sm.depth_sq_noise:
+            sig = sig * np.square(np.maximum(d, 0.0) / sm.z_ref)
+        d = np.where(valid, d + rng.normal(0, 1.0, d.shape) * sig, 0.0)
+    if sm.quantize > 0:
+        d = np.where(valid, np.rint(d / sm.quantize) * sm.quantize, 0.0)
+    if sm.dropout > 0:
+        d = np.where(rng.random(d.shape) < sm.dropout, 0.0, d)
+    return d.astype(np.float32)
+
+
 class SyntheticFrame(NamedTuple):
     depth: np.ndarray        # [H,W] float32 meters, 0 = invalid
     pose_gt: np.ndarray      # [4,4] object model->camera
@@ -69,6 +122,13 @@ class SyntheticSequenceConfig:
     hand_q_true_offset: float = 0.05         # actual-vs-nominal joint error
     noise_sigma: float = 0.001               # depth noise (m)
     dropout: float = 0.02                    # invalid-pixel fraction
+    sensor: SensorModel | None = None        # realistic sensor model;
+                                             # supersedes noise_sigma/dropout
+    hand_base_err_mm: float = 0.0            # hand-mount calibration error:
+    hand_base_err_deg: float = 0.0           # the REPORTED hand_base is
+                                             # off the true one by this
+                                             # much (fixed per sequence —
+                                             # calibration error, not noise)
     seed: int = 0
 
 
@@ -89,8 +149,13 @@ def render_frame(
     noise_sigma: float = 0.0,
     dropout: float = 0.0,
     rng: np.random.Generator | None = None,
+    sensor: SensorModel | None = None,
 ) -> np.ndarray:
-    """Exact depth render of object + posed hand, with sensor model."""
+    """Exact depth render of object + posed hand, with sensor model.
+
+    `sensor` (a SensorModel) supersedes the legacy flat
+    noise_sigma/dropout arguments: quantization, depth^2 noise growth,
+    and lateral edge jitter included."""
     scene = object_mesh.transformed(object_pose)
     if hand is not None:
         scene = scene.merged(hand.merged_mesh(np.asarray(hand_q)).transformed(hand_base))
@@ -104,6 +169,8 @@ def render_frame(
     d[~np.isfinite(d)] = 0.0
     if rng is None:
         rng = np.random.default_rng(0)
+    if sensor is not None:
+        return apply_sensor_model(d, sensor, rng)
     if noise_sigma > 0:
         d = np.where(d > 0, d + rng.normal(0, noise_sigma, d.shape), 0.0)
     if dropout > 0:
@@ -122,6 +189,7 @@ def render_frame_fast(
     n_points: int = 16384,
     noise_sigma: float = 0.0,
     rng: np.random.Generator | None = None,
+    sensor: SensorModel | None = None,
 ) -> np.ndarray:
     """Splat-rendered synthetic depth (dense surface samples, z-min
     scatter). ~100x cheaper to compile than `render_frame`'s exact
@@ -143,6 +211,10 @@ def render_frame_fast(
     )
     d = np.array(d)
     d[~np.isfinite(d)] = 0.0
+    if sensor is not None:
+        if rng is None:
+            rng = np.random.default_rng(0)
+        return apply_sensor_model(d, sensor, rng)
     if noise_sigma > 0:
         if rng is None:
             rng = np.random.default_rng(0)
@@ -192,16 +264,30 @@ def generate_sequence(
     delta = np.asarray(
         se3.se3_exp(jnp.asarray(np.concatenate([step_w, step_v]), jnp.float32))
     )
+    # hand-mount CALIBRATION error: one fixed perturbation per sequence
+    # between the true base (renders the depth) and the reported base
+    # (handed to the estimator) — systematic, unlike per-frame noise
+    base_err = np.eye(4, dtype=np.float32)
+    if cfg.hand_base_err_mm > 0 or cfg.hand_base_err_deg > 0:
+        w = rng.normal(size=3)
+        w = w / np.linalg.norm(w) * np.radians(cfg.hand_base_err_deg)
+        v = rng.normal(size=3)
+        v = v / np.linalg.norm(v) * (cfg.hand_base_err_mm * 1e-3)
+        base_err = np.asarray(se3.se3_exp(
+            jnp.asarray(np.concatenate([w, v]), jnp.float32)
+        ))
     for i in range(cfg.n_frames):
-        hb = hand_base_for_grasp(pose)
+        hb_true = hand_base_for_grasp(pose)
+        hb_reported = (base_err @ hb_true).astype(np.float32)
         depth = render_frame(
-            object_mesh, pose, hand, hb, q_true, cfg.camera,
+            object_mesh, pose, hand, hb_true, q_true, cfg.camera,
             noise_sigma=cfg.noise_sigma, dropout=cfg.dropout, rng=rng,
+            sensor=cfg.sensor,
         )
         frames.append(
             SyntheticFrame(
-                depth=depth, pose_gt=pose.copy(), hand_base=hb, hand_q=q_nom,
-                rgb=shade_depth_rgb(depth),
+                depth=depth, pose_gt=pose.copy(), hand_base=hb_reported,
+                hand_q=q_nom, rgb=shade_depth_rgb(depth),
             )
         )
         # rigid motion about the object's own center

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import icp as icp_ops
 from ..ops import knn, preprocess, pso, render
 from ..ops import score as score_ops
 from ..utils import se3
@@ -350,7 +351,56 @@ class Estimator:
             # exactly this locked a 14 mm flip on the step object while
             # the true basin scored 1.36 vs the flip's 0.77 once refined).
             n_top = n_particles // 2
-            _, top = jax.lax.top_k(cand_fit, n_top)
+            # Observation-side support for the top candidates (VERDICT r3
+            # item 5): the raw projective ranking never pays for observed
+            # points a pose fails to explain, so slid/flipped candidates
+            # can dominate the top of the grid (measured r3: 48 mm slide
+            # scored 1.455 vs 1.335 at truth). One batched NN on the
+            # inner-ICP subsets adds the same w*(explained-1) term the
+            # swarm fitness carries to the top prescreen_support
+            # candidates, and the top-half seeds are picked WITHIN that
+            # corrected subset. Correcting a subset then top_k-ing over
+            # the mixed array is wrong: penalized good candidates fall
+            # below never-penalized slides from the uncorrected tail
+            # (measured: pinned cylinder t=17 flipped from 2.3 mm to a
+            # 26.7 mm slide exactly that way). The subset must also be
+            # strictly larger than n_top or the correction cannot change
+            # the selected SET at all.
+            n_sup = min(max(cfg.tracker.prescreen_support, 2 * n_top),
+                        prescreen)
+            if score_cfg.scene_cov_weight > 0.0 and \
+                    cfg.tracker.prescreen_support > 0:
+                km_i = min(
+                    cfg.tracker.reinit_icp_model_subset if init_scoring
+                    else cfg.pso.icp_model_subset,
+                    model_pts.shape[0],
+                )
+                ks_i = min(cfg.pso.icp_scene_subset, scene.points.shape[0])
+                _, sup_idx = jax.lax.top_k(cand_fit, n_sup)
+                # tau is DOUBLED vs the swarm term: prescreen candidates
+                # are unrefined (visible-centroid alignment is ~1 cm off),
+                # so at the swarm tau the support signal is alignment
+                # noise, not basin identity — measured: the pinned
+                # cylinder t=17 flipped to a 26.7 mm slide at 1x tau and
+                # recovered (2.3 mm) at 2x. Measured limit of this term:
+                # it CANNOT replace the init-only neutral exemption — the
+                # cylinder slide's discriminating evidence (the protruding
+                # end) sits behind the hand-dropped region, so its support
+                # is high no matter the tau (26.7 mm fail with exemption
+                # off, support on or off).
+                supp = icp_ops.scene_support(
+                    cand[sup_idx], scene.points[:ks_i], weights[:ks_i],
+                    model_pts[:km_i], model_normals[:km_i],
+                    tau=2.0 * score_cfg.scene_cov_tau,
+                    nn_fn=self.nn_fn, corr_fn=self.corr_fn,
+                )
+                corr_fit = cand_fit[sup_idx] + (
+                    score_cfg.scene_cov_weight * (supp - 1.0)
+                )
+                _, best_in_sup = jax.lax.top_k(corr_fit, n_top)
+                top = sup_idx[best_in_sup]
+            else:
+                _, top = jax.lax.top_k(cand_fit, n_top)
             stride_idx = np.linspace(
                 0, prescreen - 1, n_particles - n_top
             ).round().astype(np.int32)
@@ -553,6 +603,7 @@ class TrackerState(NamedTuple):
     key: jax.Array         # rng key
     initialized: jax.Array  # bool
     fitness: jax.Array     # last frame's fitness
+    coverage: jax.Array | None = None    # last frame's coverage (watchdog)
     hyp_poses: jax.Array | None = None   # [H,4,4] competing basins (H>1)
     hyp_fitness: jax.Array | None = None  # [H]
     prev_pose: jax.Array | None = None   # [4,4] pose one frame earlier
@@ -588,6 +639,7 @@ class Tracker:
             key=jax.random.key(seed),
             initialized=jnp.asarray(False),
             fitness=jnp.asarray(0.0),
+            coverage=jnp.asarray(1.0),
         )
 
     def step(
@@ -606,9 +658,20 @@ class Tracker:
         # ~100ms frame; if frame pipelining ever matters, follow
         # LibrarySweep (parallel/sharding.py), which keeps equal shapes for
         # both modes and decides on-device.
+        tr_cfg = self.est.cfg.tracker
         need_init = (not bool(st.initialized)) or (
-            float(st.fitness) < self.est.cfg.tracker.fitness_reinit_threshold
+            float(st.fitness) < tr_cfg.fitness_reinit_threshold
             and bool(st.initialized)
+        ) or (
+            # coverage watchdog: fitness is a per-counted-sample average, so
+            # a drifted pose that sheds its evidence pixels can stay
+            # "confident" (documented mode: 71 mm wrong, fitness 0.99,
+            # coverage 0.007 — score.py header). Coverage collapse is the
+            # second line of defense the fitness test cannot provide.
+            tr_cfg.coverage_reinit_threshold > 0.0
+            and bool(st.initialized)
+            and st.coverage is not None
+            and float(st.coverage) < tr_cfg.coverage_reinit_threshold
         )
         mode = "init" if need_init else "track"
         H = self.est.cfg.tracker.n_hypotheses
@@ -647,6 +710,7 @@ class Tracker:
             key=key,
             initialized=jnp.asarray(True),
             fitness=out.fitness,
+            coverage=out.coverage,
             hyp_poses=out.hyp_poses if H > 1 else None,
             hyp_fitness=out.hyp_fitness if H > 1 else None,
             # velocity restarts after a (re-)init — AND for one more
@@ -683,6 +747,9 @@ class Tracker:
             key=np.asarray(jax.random.key_data(st.key)),
             initialized=np.asarray(st.initialized),
             fitness=np.asarray(st.fitness),
+            coverage=np.asarray(
+                st.coverage if st.coverage is not None else 1.0
+            ),
             pose_tracked=np.asarray(st.pose_tracked),
             **extra,
         )
@@ -695,6 +762,10 @@ class Tracker:
             key=jax.random.wrap_key_data(jnp.asarray(z["key"])),
             initialized=jnp.asarray(bool(z["initialized"])),
             fitness=jnp.asarray(z["fitness"]),
+            coverage=(
+                jnp.asarray(z["coverage"]) if "coverage" in z
+                else jnp.asarray(1.0)
+            ),
             hyp_poses=jnp.asarray(z["hyp_poses"]) if "hyp_poses" in z else None,
             hyp_fitness=(
                 jnp.asarray(z["hyp_fitness"]) if "hyp_fitness" in z else None

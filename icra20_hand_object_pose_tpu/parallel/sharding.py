@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.estimator import Estimator, FrameResult, _ckpt_path
 from ..models.hand import HandModel
 from ..models.object_model import ObjectModel
+from ..utils import se3
 from ..utils.config import EstimatorConfig
 
 
@@ -46,6 +47,16 @@ class SweepState(NamedTuple):
     initialized: jax.Array  # [O] bool
     key: jax.Array
     frame_idx: jax.Array    # int32
+    coverage: jax.Array | None = None     # [O] watchdog second signal
+    hyp_poses: jax.Array | None = None    # [O,H,4,4] competing basins (H>1)
+    hyp_fitness: jax.Array | None = None  # [O,H]
+    prev_poses: jax.Array | None = None   # [O,4,4] pose one frame earlier
+    vel_ok: jax.Array | None = None       # [O] bool: prev_poses usable for
+                                          # the constant-velocity prior
+                                          # (both endpoints TRACKED frames
+                                          # — mirrors Tracker.pose_tracked)
+    pose_tracked: jax.Array | None = None  # [O] bool: `poses` from a
+                                           # tracked (not init) frame
 
 
 class SweepResult(NamedTuple):
@@ -53,6 +64,8 @@ class SweepResult(NamedTuple):
     fitness: jax.Array      # [O]
     coverage: jax.Array     # [O]
     reinitialized: jax.Array  # [O] bool — which objects re-registered
+    hyp_poses: jax.Array | None = None    # [O,H,4,4] when n_hypotheses > 1
+    hyp_fitness: jax.Array | None = None  # [O,H]
 
 
 class LibrarySweep:
@@ -62,9 +75,19 @@ class LibrarySweep:
     sequentially), the whole library is ONE jit: model tensors are
     stacked [O,...], the frame program is vmapped over the object axis,
     and jit in/out shardings place each object's tracker on its mesh
-    shard. Re-initialization is decided per object ON DEVICE (traced
-    uniform_rot/sigma vectors), so mixed track/re-init batches need no
-    host round-trip or re-compile.
+    shard.
+
+    Re-initialization runs the SAME global-registration program as the
+    single-object path (Estimator.frame_args mode='init'): the
+    4096-orientation prescreen, delayed elite resample, init-only
+    neutral-coverage scoring, reinit particle count and the heavier
+    reinit ICP cadence are statics of a SECOND compiled sweep variant.
+    Each frame the host reads the per-object watchdog (fitness +
+    coverage, exactly Tracker.step's predicate) and dispatches the track
+    program, the init program, or — on mixed frames — both, merging
+    per-object by the need-init mask. Mixed frames pay one extra sweep
+    call; re-init is a rare event and the init program stays fully
+    object-sharded over the mesh (unlike a per-object host loop would).
     """
 
     def __init__(
@@ -100,6 +123,7 @@ class LibrarySweep:
         self.mesh = mesh
         self.axis_name = axis_name
         self.particle_axis = particle_axis
+        n_p = 1
         if particle_axis is not None:
             if mesh is None or particle_axis not in mesh.axis_names:
                 raise ValueError(
@@ -111,6 +135,18 @@ class LibrarySweep:
                     f"{self.n_objects} objects not divisible by mesh axis "
                     f"{axis_name}={mesh.shape[axis_name]}"
                 )
+            n_p = mesh.shape[particle_axis]
+        H = cfg.tracker.n_hypotheses
+        if H > 1:
+            for name, count in (("pso.particles", cfg.pso.particles),
+                                ("tracker.reinit_particles",
+                                 cfg.tracker.reinit_particles)):
+                if count // n_p < 2 * H:
+                    raise ValueError(
+                        f"{H} hypotheses need at least {2 * H} particles per "
+                        f"shard; {name}={count}"
+                        + (f" over {n_p} particle shards" if n_p > 1 else "")
+                    )
         # one estimator provides the traced frame program; its per-object
         # tensors are passed explicitly (vmapped axis 0)
         self._est = Estimator(objects[0], hand, cfg, nn_fn=nn_fn)
@@ -131,7 +167,6 @@ class LibrarySweep:
         )
         kwargs = {}
         if obj_sharding is not None:
-            repl = NamedSharding(mesh, P())
             kwargs = dict(
                 in_shardings=(
                     obj_sharding,  # keys
@@ -152,6 +187,7 @@ class LibrarySweep:
                     hyp_poses=obj_sharding, hyp_fitness=obj_sharding,
                 ),
             )
+        statics = (10, 11, 12, 13, 14)
         if particle_axis is not None:
             # 2-D path: one shard_map over (obj, particle) — object args
             # sharded over `axis_name`, replicated over `particle_axis`;
@@ -160,12 +196,11 @@ class LibrarySweep:
             # fold + all_gather global best over the particle axis).
             from jax import shard_map
 
-            n_p = mesh.shape[particle_axis]
-
             def sweep2d(
                 keys, depths, prev_poses, hand_bases, hand_qs, obj_tensors,
                 rot_sigma, trans_sigma, uniform_rot, roi_radius,
                 n_particles: int, pso_iters: int,
+                resample_after: int, prescreen: int, init_scoring: bool,
             ):
                 if n_particles % n_p:
                     raise ValueError(
@@ -178,6 +213,9 @@ class LibrarySweep:
                         self._est._frame_step,
                         n_particles=n_particles // n_p,
                         pso_iters=pso_iters,
+                        resample_after=resample_after,
+                        prescreen=prescreen,
+                        init_scoring=init_scoring,
                     )
                     return jax.vmap(fn)(*args10)
 
@@ -192,20 +230,23 @@ class LibrarySweep:
                     roi_radius,
                 )
 
-            self._sweep_jit = jax.jit(sweep2d, static_argnums=(10, 11))
+            self._sweep_jit = jax.jit(sweep2d, static_argnums=statics)
         else:
             # pjit with in_shardings forbids kwargs: statics go positional
             self._sweep_jit = jax.jit(
-                self._sweep_step, static_argnums=(10, 11), **kwargs
+                self._sweep_step, static_argnums=statics, **kwargs
             )
 
     def _sweep_step(
         self, keys, depths, prev_poses, hand_bases, hand_qs, obj_tensors,
         rot_sigma, trans_sigma, uniform_rot, roi_radius,
         n_particles: int, pso_iters: int,
+        resample_after: int, prescreen: int, init_scoring: bool,
     ) -> FrameResult:
         fn = partial(
-            self._est._frame_step, n_particles=n_particles, pso_iters=pso_iters
+            self._est._frame_step, n_particles=n_particles,
+            pso_iters=pso_iters, resample_after=resample_after,
+            prescreen=prescreen, init_scoring=init_scoring,
         )
         return jax.vmap(fn)(
             keys, depths, prev_poses, hand_bases, hand_qs, obj_tensors,
@@ -216,12 +257,55 @@ class LibrarySweep:
 
     def init_state(self, seed: int = 0) -> SweepState:
         O = self.n_objects
+        H = self.cfg.tracker.n_hypotheses
         return SweepState(
             poses=jnp.tile(jnp.eye(4)[None], (O, 1, 1)),
             fitness=jnp.zeros((O,)),
             initialized=jnp.zeros((O,), bool),
             key=jax.random.key(seed),
             frame_idx=jnp.asarray(0, jnp.int32),
+            coverage=jnp.ones((O,)),
+            hyp_poses=(jnp.tile(jnp.eye(4)[None, None], (O, H, 1, 1))
+                       if H > 1 else None),
+            hyp_fitness=(jnp.full((O, H), -jnp.inf) if H > 1 else None),
+            prev_poses=jnp.tile(jnp.eye(4)[None], (O, 1, 1)),
+            vel_ok=jnp.zeros((O,), bool),
+            pose_tracked=jnp.zeros((O,), bool),
+        )
+
+    def _run(self, keys, depths, prev, hand_bases, hand_qs, mode: str):
+        """One compiled sweep call with the SAME static/traced arguments
+        the single-object Estimator.frame_args builds for `mode`."""
+        cfg = self.cfg
+        tr = cfg.tracker
+        O = self.n_objects
+        obj_tensors = (
+            self._model_pts, self._model_normals,
+            self._render_pts, self._render_normals, self._render_w,
+        )
+        f32 = lambda v: jnp.full((O,), v, jnp.float32)
+        if mode == "track":
+            roi_track = np.maximum(
+                1.5 * self._diameters, 3.0 * cfg.pso.trans_sigma
+            ).astype(np.float32)
+            return self._sweep_jit(
+                keys, depths, prev, hand_bases, hand_qs, obj_tensors,
+                f32(cfg.pso.rot_sigma), f32(cfg.pso.trans_sigma),
+                jnp.zeros((O,), bool), jnp.asarray(roi_track),
+                cfg.pso.particles, cfg.pso.iters, 0, 0, False,
+            )
+        # mode == "init": mirror Estimator.frame_args(mode="init") exactly —
+        # reinit sigmas, uniform orientations, no ROI crop, reinit particle
+        # count, doubled iterations, delayed resample, orientation
+        # prescreen, init-only scoring (which also swaps in the heavier
+        # reinit_icp_* cadence inside _frame_step).
+        pso_iters = max(cfg.pso.iters, 2 * cfg.pso.iters)
+        return self._sweep_jit(
+            keys, depths, prev, hand_bases, hand_qs, obj_tensors,
+            f32(tr.reinit_rot_sigma), f32(tr.reinit_trans_sigma),
+            jnp.ones((O,), bool), f32(np.inf),
+            tr.reinit_particles, pso_iters, pso_iters // 2,
+            tr.reinit_prescreen, True,
         )
 
     def step(
@@ -233,50 +317,125 @@ class LibrarySweep:
     ) -> tuple[SweepState, SweepResult]:
         """One frame for every object in the library."""
         cfg = self.cfg
+        tr = cfg.tracker
         O = self.n_objects
-        key, sub = jax.random.split(state.key)
-        keys = jax.random.split(sub, O)
+        H = tr.n_hypotheses
+        key, k_t, k_i = jax.random.split(state.key, 3)
+        keys_track = jax.random.split(k_t, O)
+        keys_init = jax.random.split(k_i, O)
         if hand_bases is None:
             hand_bases = jnp.tile(jnp.eye(4)[None], (O, 1, 1))
         if hand_qs is None:
             J = self._est.hand.n_joints if self._est.hand is not None else 1
             hand_qs = jnp.zeros((O, J))
-        tr = cfg.tracker
-        # per-object re-init decision (device-side, no recompile)
-        need_init = (~state.initialized) | (
-            state.fitness < tr.fitness_reinit_threshold
-        )
-        rot_sigma = jnp.where(need_init, tr.reinit_rot_sigma, cfg.pso.rot_sigma)
-        trans_sigma = jnp.where(
-            need_init, tr.reinit_trans_sigma, cfg.pso.trans_sigma
-        )
-        roi_track = np.maximum(
-            1.5 * self._diameters, 3.0 * cfg.pso.trans_sigma
-        )
-        roi_radius = jnp.where(need_init, jnp.inf, jnp.asarray(roi_track))
-        out = self._sweep_jit(
-            keys, depths, state.poses, hand_bases, hand_qs,
-            (self._model_pts, self._model_normals,
-             self._render_pts, self._render_normals, self._render_w),
-            rot_sigma.astype(jnp.float32), trans_sigma.astype(jnp.float32),
-            need_init, roi_radius.astype(jnp.float32),
-            cfg.pso.particles, cfg.pso.iters,
-        )
+        # per-object watchdog, host-side — the SAME predicate as
+        # Tracker.step (fitness collapse OR coverage collapse). One tiny
+        # [O] fetch per frame; the two modes are different compiled
+        # programs (static swarm shapes), so the dispatch cannot be a
+        # device-side cond.
+        fit = np.asarray(state.fitness)
+        inited = np.asarray(state.initialized)
+        need_init = (~inited) | (fit < tr.fitness_reinit_threshold)
+        if tr.coverage_reinit_threshold > 0.0 and state.coverage is not None:
+            need_init |= inited & (
+                np.asarray(state.coverage) < tr.coverage_reinit_threshold
+            )
+        any_init = bool(need_init.any())
+        all_init = bool(need_init.all())
+
+        out_t = None
+        if not all_init:
+            # tracked-mode prior: competing-basin hypotheses (H>1) or the
+            # constant-velocity 2-prior stack (H==1, motion_prior>0) —
+            # the batched mirror of Tracker.step's prior construction.
+            alpha = tr.motion_prior
+            if H > 1 and state.hyp_poses is not None:
+                prev = jnp.where(
+                    jnp.isfinite(state.hyp_fitness)[..., None, None],
+                    state.hyp_poses, state.poses[:, None],
+                )
+            elif H == 1 and alpha > 0.0:
+                pp = (state.prev_poses if state.prev_poses is not None
+                      else state.poses)
+                delta = se3.compose(state.poses, se3.inverse(pp))
+                if alpha != 1.0:
+                    delta = se3.se3_exp(alpha * se3.se3_log(delta))
+                vel_ok = (state.vel_ok if state.vel_ok is not None
+                          else jnp.zeros((O,), bool))
+                delta = jnp.where(
+                    vel_ok[:, None, None], delta, jnp.eye(4, dtype=delta.dtype)
+                )
+                predicted = se3.compose(delta, state.poses)
+                prev = jnp.stack([predicted, state.poses], axis=1)  # [O,2,4,4]
+            else:
+                prev = (state.poses if H == 1
+                        else jnp.tile(state.poses[:, None], (1, H, 1, 1)))
+            out_t = self._run(
+                keys_track, depths, prev, hand_bases, hand_qs, "track"
+            )
+        out_i = None
+        if any_init:
+            prev_i = (state.poses if H == 1
+                      else jnp.tile(state.poses[:, None], (1, H, 1, 1)))
+            out_i = self._run(
+                keys_init, depths, prev_i, hand_bases, hand_qs, "init"
+            )
+
+        m = jnp.asarray(need_init)
+        if out_t is None:
+            pose, fitness, coverage = out_i.pose, out_i.fitness, out_i.coverage
+            hyp_p, hyp_f = out_i.hyp_poses, out_i.hyp_fitness
+        elif out_i is None:
+            pose, fitness, coverage = out_t.pose, out_t.fitness, out_t.coverage
+            hyp_p, hyp_f = out_t.hyp_poses, out_t.hyp_fitness
+        else:
+            sel = lambda a, b: jnp.where(
+                m.reshape((O,) + (1,) * (a.ndim - 1)), a, b
+            )
+            pose = sel(out_i.pose, out_t.pose)
+            fitness = sel(out_i.fitness, out_t.fitness)
+            coverage = sel(out_i.coverage, out_t.coverage)
+            if H > 1:
+                hyp_p = sel(out_i.hyp_poses, out_t.hyp_poses)
+                hyp_f = sel(out_i.hyp_fitness, out_t.hyp_fitness)
+            else:  # shapes can differ (motion-prior 2-stack); unused anyway
+                hyp_p, hyp_f = out_t.hyp_poses, out_t.hyp_fitness
+
+        tracked = ~m
         new_state = SweepState(
-            poses=out.pose,
-            fitness=out.fitness,
+            poses=pose,
+            fitness=fitness,
             initialized=jnp.ones((O,), bool),
             key=key,
             frame_idx=state.frame_idx + 1,
+            coverage=coverage,
+            hyp_poses=hyp_p if H > 1 else None,
+            hyp_fitness=hyp_f if H > 1 else None,
+            # constant-velocity bookkeeping (mirrors Tracker): the delta's
+            # base must itself be a TRACKED pose — an init pose's residual
+            # folded into the "velocity" extrapolates the error
+            prev_poses=state.poses,
+            vel_ok=tracked & (state.pose_tracked
+                              if state.pose_tracked is not None
+                              else jnp.zeros((O,), bool)),
+            pose_tracked=tracked,
         )
         return new_state, SweepResult(
-            poses=out.pose, fitness=out.fitness, coverage=out.coverage,
-            reinitialized=need_init,
+            poses=pose, fitness=fitness, coverage=coverage,
+            reinitialized=m,
+            hyp_poses=hyp_p if H > 1 else None,
+            hyp_fitness=hyp_f if H > 1 else None,
         )
 
     # -- checkpoint / resume -------------------------------------------------
 
     def save_state(self, state: SweepState, path: str) -> None:
+        extra = {}
+        for name in ("coverage", "hyp_poses", "hyp_fitness", "prev_poses",
+                     "vel_ok", "pose_tracked"):
+            v = getattr(state, name)
+            if v is not None:
+                extra[name] = np.asarray(v)
         np.savez(
             _ckpt_path(path),
             poses=np.asarray(state.poses),
@@ -284,14 +443,22 @@ class LibrarySweep:
             initialized=np.asarray(state.initialized),
             key=np.asarray(jax.random.key_data(state.key)),
             frame_idx=np.asarray(state.frame_idx),
+            **extra,
         )
 
     def load_state(self, path: str) -> SweepState:
         z = np.load(_ckpt_path(path))
+        opt = lambda n: jnp.asarray(z[n]) if n in z else None
         return SweepState(
             poses=jnp.asarray(z["poses"]),
             fitness=jnp.asarray(z["fitness"]),
             initialized=jnp.asarray(z["initialized"]),
             key=jax.random.wrap_key_data(jnp.asarray(z["key"])),
             frame_idx=jnp.asarray(z["frame_idx"]),
+            coverage=opt("coverage"),
+            hyp_poses=opt("hyp_poses"),
+            hyp_fitness=opt("hyp_fitness"),
+            prev_poses=opt("prev_poses"),
+            vel_ok=opt("vel_ok"),
+            pose_tracked=opt("pose_tracked"),
         )

@@ -285,6 +285,21 @@ class HandConfig:
 class TrackerConfig:
     """Sequence tracking (BASELINE config 4)."""
     fitness_reinit_threshold: float = 0.25  # below -> global re-registration
+    coverage_reinit_threshold: float = 0.05  # below -> re-registration even
+                                            # at high fitness. Second line
+                                            # of defense for the documented
+                                            # drifted-but-confident mode
+                                            # (score.py: a 71 mm-wrong pose
+                                            # scored fitness 0.99 with
+                                            # coverage 0.007 — fitness is a
+                                            # per-counted-sample average, so
+                                            # a pose that sheds evidence
+                                            # pixels can stay "confident").
+                                            # Healthy tracking coverage
+                                            # measured 0.6-0.75 under a
+                                            # T42 grasp (tiny + 160p
+                                            # verify runs); 0.05 only
+                                            # fires on collapse. 0 disables.
     reinit_particles: int = 1024
     reinit_rot_sigma: float = 3.2           # ~uniform rotations
     reinit_trans_sigma: float = 0.05
@@ -338,6 +353,26 @@ class TrackerConfig:
                                             # ~20 deg at 1024 — decides
                                             # whether the true basin is
                                             # visited at all. 0 = off.
+    prescreen_support: int = 256            # top prescreen candidates that
+                                            # additionally get the
+                                            # observation-side scene-
+                                            # support term (one batched NN
+                                            # on the inner-ICP subsets);
+                                            # the top-half swarm seeds are
+                                            # then picked WITHIN this
+                                            # corrected subset (clamped to
+                                            # >= particles, i.e. 2x the
+                                            # top-half count — see the
+                                            # measured mixing hazard in
+                                            # estimator.py). The raw
+                                            # projective ranking never
+                                            # pays for unexplained
+                                            # observed points, so its top
+                                            # can be dominated by slid/
+                                            # flipped candidates (measured
+                                            # r3: fitness 1.455 for a
+                                            # 48 mm slide vs 1.335 at
+                                            # truth). 0 = off.
 
 
 @dataclass(frozen=True)

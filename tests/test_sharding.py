@@ -25,7 +25,7 @@ def tiny():
     cfg = EstimatorConfig(
         camera=cam, scene_points=256, render_size=48,
         pso=PsoConfig(particles=16, iters=3, icp_iters_inner=2),
-        tracker=TrackerConfig(reinit_particles=16),
+        tracker=TrackerConfig(reinit_particles=16, reinit_prescreen=64),
     )
     mesh = meshio.make_test_object("box")
     hand = make_t42_hand(points_per_link=64)
@@ -203,6 +203,114 @@ def test_library_sweep_2d_mesh(tiny):
         for i in range(4)
     ]
     assert max(adds) < 0.03, adds
+
+
+def test_sweep_init_matches_single_object_init(tiny):
+    """The sweep's init program must BE the single-object init program
+    (VERDICT r3 item 1): same statics (reinit particles/iters, delayed
+    resample, prescreen, init-only scoring -> reinit ICP cadence) and
+    same traced args. With matched keys the O=1 sweep init is bitwise
+    the Estimator mode='init' result."""
+    cfg, obj, hand, frame = tiny
+    sweep = LibrarySweep([obj], hand, cfg)
+    est = Estimator(obj, hand, cfg)
+    depth = jnp.asarray(frame.depth)
+    hb = jnp.asarray(frame.hand_base)
+    hq = jnp.asarray(frame.hand_q)
+    key = jax.random.key(5)
+    dyn, static = est.frame_args(depth, jnp.eye(4), hb, hq, key=key,
+                                 mode="init")
+    out_single = est._step_jit(*dyn, **static)
+    out_sweep = sweep._run(
+        key[None], depth[None], jnp.eye(4)[None], hb[None], hq[None], "init"
+    )
+    assert float(jnp.abs(out_sweep.pose[0] - out_single.pose).max()) == 0.0
+    assert float(out_sweep.fitness[0]) == float(out_single.fitness)
+    assert float(out_sweep.coverage[0]) == float(out_single.coverage)
+
+
+def test_sweep_mixed_reinit_and_coverage_watchdog(tiny):
+    """Mixed frames merge per object (track program for healthy objects,
+    init program for collapsed ones), and the coverage watchdog fires on
+    a drifted-but-confident state (high fitness, collapsed coverage —
+    the documented 71 mm mode, score.py header) within ONE frame."""
+    cfg, obj, hand, frame = tiny
+    objs = [
+        ObjectModel(meshio.make_test_object("box"), model_points=256,
+                    render_points=512, seed=i)
+        for i in range(2)
+    ]
+    sweep = LibrarySweep(objs, hand, cfg)
+    depths = jnp.tile(jnp.asarray(frame.depth)[None], (2, 1, 1))
+    hbs = jnp.tile(jnp.asarray(frame.hand_base)[None], (2, 1, 1))
+    hqs = jnp.tile(jnp.asarray(frame.hand_q)[None], (2, 1))
+    st, res = sweep.step(sweep.init_state(), depths, hbs, hqs)
+    assert bool(jnp.all(res.reinitialized))
+    # fitness collapse on object 1 only
+    st1 = st._replace(fitness=st.fitness.at[1].set(0.0))
+    st2, res2 = sweep.step(st1, depths, hbs, hqs)
+    assert list(np.asarray(res2.reinitialized)) == [False, True]
+    # coverage collapse at HIGH fitness on object 0 only
+    st3 = st2._replace(
+        fitness=jnp.full_like(st2.fitness, 1.0),
+        coverage=st2.coverage.at[0].set(0.001),
+    )
+    _, res3 = sweep.step(st3, depths, hbs, hqs)
+    assert list(np.asarray(res3.reinitialized)) == [True, False]
+
+
+def test_sweep_multi_hypothesis(tiny):
+    """Sweep-mode competing-basin tracking (VERDICT r3 item 7): H=2
+    hypothesis slots per object persist across frames, slot 0 is the
+    committed pose, empty slots carry fitness -inf."""
+    import dataclasses
+    cfg, obj, hand, frame = tiny
+    cfg2 = dataclasses.replace(
+        cfg, tracker=dataclasses.replace(cfg.tracker, n_hypotheses=2)
+    )
+    objs = [
+        ObjectModel(meshio.make_test_object("box"), model_points=256,
+                    render_points=512, seed=i)
+        for i in range(2)
+    ]
+    sweep = LibrarySweep(objs, hand, cfg2)
+    depths = jnp.tile(jnp.asarray(frame.depth)[None], (2, 1, 1))
+    hbs = jnp.tile(jnp.asarray(frame.hand_base)[None], (2, 1, 1))
+    hqs = jnp.tile(jnp.asarray(frame.hand_q)[None], (2, 1))
+    st, res = sweep.step(sweep.init_state(), depths, hbs, hqs)
+    st, res = sweep.step(st, depths, hbs, hqs)
+    assert res.hyp_poses.shape == (2, 2, 4, 4)
+    assert res.hyp_fitness.shape == (2, 2)
+    # slot 0 is the committed best pose
+    assert float(jnp.abs(res.hyp_poses[:, 0] - res.poses).max()) == 0.0
+    for i in range(2):
+        err = float(se3.add_s_error(res.poses[i], jnp.asarray(frame.pose_gt),
+                                    objs[i].model_pts))
+        assert err < 0.03
+
+
+def test_sweep_motion_prior(tiny):
+    """Constant-velocity prior in sweep mode: the 2-prior stack tracks a
+    moving sequence; velocity only engages after two TRACKED frames."""
+    import dataclasses
+    cfg, obj, hand, frame = tiny
+    cfg2 = dataclasses.replace(
+        cfg, tracker=dataclasses.replace(cfg.tracker, motion_prior=0.8)
+    )
+    sweep = LibrarySweep([obj], hand, cfg2)
+    depths = jnp.asarray(frame.depth)[None]
+    hbs = jnp.asarray(frame.hand_base)[None]
+    hqs = jnp.asarray(frame.hand_q)[None]
+    st = sweep.init_state()
+    st, _ = sweep.step(st, depths, hbs, hqs)        # init frame
+    assert not bool(st.vel_ok[0])
+    st, _ = sweep.step(st, depths, hbs, hqs)        # first tracked frame
+    assert not bool(st.vel_ok[0])                   # base was an init pose
+    st, res = sweep.step(st, depths, hbs, hqs)      # velocity engages
+    assert bool(st.vel_ok[0])
+    err = float(se3.add_s_error(res.poses[0], jnp.asarray(frame.pose_gt),
+                                obj.model_pts))
+    assert err < 0.03
 
 
 def test_library_sweep_2d_validation(tiny):
