@@ -75,6 +75,18 @@ class Estimator:
             corr_fn = knn_pallas.make_corr_fn()
         self.nn_fn = nn_fn
         self.corr_fn = corr_fn
+        self.gn_fn = None
+        if cfg.icp.fused_gn and jax.default_backend() == "tpu":
+            # fully fused in-scan refine: NN + gates + normal equations
+            # in ONE kernel (knn_pallas.nn_gn_batched)
+            import math as _math
+            from ..ops import knn_pallas
+            self.gn_fn = knn_pallas.make_gn_fn(
+                maxd2=cfg.icp.max_corresp_dist ** 2,
+                min_cos=_math.cos(_math.radians(cfg.icp.normal_angle_max_deg)),
+                tau2=(cfg.score.scene_cov_tau ** 2
+                      if cfg.score.scene_cov_weight > 0 else 0.0),
+            )
         # Optional device mesh: the swarm's particle axis is sharded over
         # `axis_name`; frame inputs are replicated, the per-iteration
         # global-best agreement is a tiny all_gather over ICI
@@ -454,7 +466,8 @@ class Estimator:
             height=self.lo_h, width=self.lo_w,
             splat_radius=1,
             pso_cfg=pso_cfg, icp_cfg=cfg.icp, score_cfg=score_cfg,
-            nn_fn=self.nn_fn, corr_fn=self.corr_fn, axis_name=axis_name,
+            nn_fn=self.nn_fn, corr_fn=self.corr_fn, gn_fn=self.gn_fn,
+            axis_name=axis_name,
             explorer_seeds=explorer_seeds,
             observed_neutral=scene.neutral,
             observed_hi=(

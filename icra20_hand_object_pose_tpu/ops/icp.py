@@ -162,6 +162,7 @@ def icp_batched(
     gn_reps: int = 1,
     nn_fn: Callable | None = None,
     corr_fn: Callable | None = None,
+    gn_fn: Callable | None = None,
     support_tau: float = 0.0,
 ) -> tuple[jax.Array, IcpStats]:
     """Batched point-to-plane ICP, natively tensorized over the particle
@@ -176,6 +177,14 @@ def icp_batched(
       the fused Pallas NN+gather kernel (knn_pallas.make_corr_fn);
     - nn_fn(query [Ns,3], ref [P,Nm,3]) -> (idx, d2 [P,Ns]) — NN only,
       matched points gathered with XLA;
+    - gn_fn(scene_c, scene_normals, scene_w, posed_c [P,Nm,3],
+      posed_normals) -> (H [P,6,6], g [P,6], wsum, hits, wrr) — the
+      FULLY FUSED kernel (knn_pallas.make_gn_fn): NN, gating, and the
+      normal-equation build all in-kernel; the matched streams never
+      reach HBM. gn_reps is ignored on this path (each iteration is one
+      search x one linearization — re-linearizing needs the matched
+      points the kernel deliberately does not emit); correspondence
+      gates and support_tau are baked into gn_fn at construction;
     - default: dense jnp distance matrix.
 
     support_tau > 0 additionally reports IcpStats.support: the
@@ -204,6 +213,34 @@ def icp_batched(
 
     scene_c = scene_pts - anchor                                  # [Ns,3]
     apply_twists = jax.vmap(se3.apply_twist_about, in_axes=(0, 0, None))
+
+    if gn_fn is not None:
+        def body_fused(carry, _):
+            poses, frozen = carry
+            posed_c = se3.transform_points(poses, model_pts) - anchor
+            mnorm = se3.rotate_vectors(poses, model_normals)
+            H, g, wsum_w, hits, wrr = gn_fn(
+                scene_c, scene_normals, scene_weights, posed_c, mnorm
+            )
+            tr = jnp.trace(H, axis1=-2, axis2=-1)
+            lam = damping * (tr / 6.0 + 1e-12)
+            Hd = H + lam[..., None, None] * jnp.eye(6, dtype=H.dtype)
+            xi = cholesky_solve6(Hd, g) * step_scale
+            xi = jnp.where((wsum_w > 6.0)[..., None], xi, 0.0)
+            step = jnp.sum(xi * xi, axis=-1)
+            frozen = frozen | (step < converge_tol * converge_tol)
+            xi = jnp.where(frozen[:, None], 0.0, xi)
+            poses = apply_twists(xi, poses, anchor)
+            rmse = jnp.sqrt(wrr / jnp.maximum(wsum_w, 1e-9))
+            return (poses, frozen), (rmse, wsum_w, hits / wsum)
+
+        (poses, frozen), (rmses, inliers, supports) = jax.lax.scan(
+            body_fused, (poses0, jnp.zeros((P,), bool)), None, length=iters
+        )
+        return poses, IcpStats(
+            rmse=rmses[-1], inliers=inliers[-1], converged=frozen,
+            support=supports[-1],
+        )
 
     def body(carry, _):
         poses, frozen = carry                                     # [P,4,4],[P]

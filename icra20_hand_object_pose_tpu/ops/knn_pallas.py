@@ -295,6 +295,236 @@ def nn_gather_batched(
     return matched, mnormal, d2, idx[:, 0, :Ns]
 
 
+def _make_gn_kernel(tile_m: int, n_tiles_m: int, tile_p: int,
+                    shared_q: bool, maxd2: float, min_cos: float,
+                    tau2: float):
+    """NN + gather + in-kernel Gauss-Newton accumulation.
+
+    Extends _make_gather_kernel: the running NN selection is identical,
+    but at the LAST model tile the kernel builds the point-to-plane
+    normal equations directly — per (particle, scene-tile) it emits one
+    [16,128] block holding A @ A^T where A's rows are
+    [sqrt(w)*J_0..J_5, sqrt(w)*r, sqrt(sw*hit), sqrt(w), 0...]:
+
+        rows 0-5 x cols 0-5:  H  = sum w J J^T   (6x6)
+        row 6    x cols 0-5:  g  = sum w r J     ([6])
+        (6,6):                sum w r^2          (rmse numerator)
+        (7,7):                sum sw * [d2<tau2] (scene-support hits)
+        (8,8):                sum w              (inlier mass)
+
+    so the matched-point streams (the [P,Ns,3]x2 HBM tensors whose XLA
+    consumers — gating, cross products, J concat, two einsums — were
+    ~half the in-scan ICP cost, VERDICT r3 item 6) never leave the
+    kernel. One HIGHEST-precision MXU contraction per (particle,
+    scene-tile) replaces them; correspondence gates (max distance,
+    normal compatibility, padding) are folded into w in-registers.
+
+    Query pack rows (pre-anchored scene): [x, y, z, nx, ny, nz, w, 0].
+    Ref pack rows (pre-anchored posed model): [1, x, y, z, nx, ny, nz, 0].
+    """
+
+    def _kernel(q_ref, r_ref, chan_ref, gn_ref):
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _():
+            chan_ref[...] = jnp.full_like(chan_ref, jnp.inf)
+
+        for t in range(tile_p):
+            q = q_ref[0 if shared_q else t]   # [8, TS]
+            r = r_ref[t]                      # [8, TM]
+            acc = None
+            for c in range(3):
+                diff = r[c + 1][:, None] - q[c][None, :]
+                acc = diff * diff if acc is None else acc + diff * diff
+            lm = jnp.min(acc, axis=0, keepdims=True)               # [1, TS]
+            la = jnp.argmin(acc, axis=0, keepdims=True).astype(jnp.int32)
+            iota_m = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 0)
+            onehot = (iota_m == la).astype(jnp.bfloat16)           # exact
+            r_hi = r.astype(jnp.bfloat16)
+            r_lo = (r - r_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dn = (((1,), (0,)), ((), ()))
+            sel = (
+                jax.lax.dot_general(r_hi, onehot, dn,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(r_lo, onehot, dn,
+                                      preferred_element_type=jnp.float32)
+            )                                                      # [8, TS]
+            row = jax.lax.broadcasted_iota(jnp.int32, sel.shape, 0)
+            cand = jnp.where(row == 0, jnp.broadcast_to(lm, sel.shape), sel)
+            cur = chan_ref[t]
+            better = lm < cur[0:1]
+            chan_ref[t] = jnp.where(
+                jnp.broadcast_to(better, cur.shape), cand, cur
+            )
+
+        @pl.when(j == n_tiles_m - 1)
+        def _():
+            for t in range(tile_p):
+                q = q_ref[0 if shared_q else t]       # [8, TS]
+                cur = chan_ref[t]                     # [8, TS] final NN
+                d2 = cur[0:1]
+                m0, m1, m2 = cur[1:2], cur[2:3], cur[3:4]
+                n0, n1, n2 = cur[4:5], cur[5:6], cur[6:7]
+                s0, s1, s2 = q[0:1], q[1:2], q[2:3]
+                sn0, sn1, sn2 = q[3:4], q[4:5], q[5:6]
+                sw = q[6:7]
+                # correspondence gates (ops/icp.correspondence_weights)
+                w = sw * (d2 < maxd2).astype(sw.dtype)
+                ncos = sn0 * n0 + sn1 * n1 + sn2 * n2
+                have_n = ((sn0 * sn0 + sn1 * sn1 + sn2 * sn2 > 0.5)
+                          & (n0 * n0 + n1 * n1 + n2 * n2 > 0.5))
+                w = w * jnp.where(have_n, (ncos > min_cos).astype(sw.dtype),
+                                  1.0)
+                # point-to-plane residual + jacobian rows
+                res = n0 * (s0 - m0) + n1 * (s1 - m1) + n2 * (s2 - m2)
+                px = m1 * n2 - m2 * n1
+                py = m2 * n0 - m0 * n2
+                pz = m0 * n1 - m1 * n0
+                sqw = jnp.sqrt(w)
+                hit = sw * (d2 < tau2).astype(sw.dtype)
+                zrow = jnp.zeros_like(sqw)
+                A = jnp.concatenate(
+                    [sqw * px, sqw * py, sqw * pz,
+                     sqw * n0, sqw * n1, sqw * n2,
+                     sqw * res, jnp.sqrt(hit), sqw,
+                     zrow, zrow, zrow, zrow, zrow, zrow, zrow], axis=0
+                )                                      # [16, TS]
+                # pad to 128 output lanes with zero rows, contract over TS:
+                # gn = A @ C^T = [16, 128], C = [A; 0]
+                C = jnp.concatenate(
+                    [A, jnp.zeros((112, A.shape[1]), A.dtype)], axis=0
+                )                                      # [128, TS]
+                gn_ref[t] = jax.lax.dot_general(
+                    A, C, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxd2", "min_cos", "tau2", "tile_s", "tile_m",
+                     "tile_p", "interpret"),
+)
+def nn_gn_batched(
+    scene_c: jax.Array,        # [Ns,3] anchored scene points
+    scene_normals: jax.Array,  # [Ns,3] (zeros allowed)
+    scene_w: jax.Array,        # [Ns] weights (0 = padding)
+    ref_c: jax.Array,          # [P,Nm,3] anchored posed model points
+    ref_normals: jax.Array,    # [P,Nm,3] posed model normals
+    *,
+    maxd2: float,
+    min_cos: float,
+    tau2: float = 0.0,
+    tile_s: int = 2048,
+    tile_m: int = 512,
+    tile_p: int = 8,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused NN search + correspondence gating + GN normal equations.
+
+    Returns (H [P,6,6], g [P,6], wsum [P], support_hits [P], wrr [P]).
+    Exact-f32 equivalent of: kernel-NN + take matched + icp.
+    correspondence_weights + icp.solve_gn_step's H/g build (validated
+    against that path in tests/test_knn_pallas.py). The [P,Ns,3]
+    matched streams never reach HBM.
+    """
+    Ns = scene_c.shape[0]
+    P, Nm, _ = ref_c.shape
+    ts = min(tile_s, _round_up(Ns, 128))
+    tm = min(tile_m, _round_up(Nm, 128))
+    ns_p = _round_up(Ns, ts)
+    nm_p = _round_up(Nm, tm)
+    tp = max(d for d in range(1, min(tile_p, P) + 1) if P % d == 0)
+
+    qpack = jnp.concatenate(
+        [scene_c.astype(jnp.float32),
+         scene_normals.astype(jnp.float32),
+         scene_w.astype(jnp.float32)[:, None],
+         jnp.zeros((Ns, 1), jnp.float32)], axis=-1,
+    )                                                     # [Ns, 8]
+    qt = jnp.pad(qpack, ((0, ns_p - Ns), (0, 0))).T[None]  # [1, 8, ns_p]
+
+    ones = jnp.ones((P, Nm, 1), jnp.float32)
+    zeros = jnp.zeros((P, Nm, 1), jnp.float32)
+    packed = jnp.concatenate(
+        [ones, ref_c.astype(jnp.float32),
+         ref_normals.astype(jnp.float32), zeros], axis=-1,
+    )
+    rt = jnp.pad(packed, ((0, 0), (0, nm_p - Nm), (0, 0)))
+    if nm_p > Nm:
+        rt = rt.at[:, Nm:, 1:4].set(_PAD_COORD)
+    rt = rt.transpose(0, 2, 1)                            # [P, 8, nm_p]
+
+    n_tiles_s = ns_p // ts
+    kernel = _make_gn_kernel(
+        tm, nm_p // tm, tp, True, float(maxd2), float(min_cos), float(tau2)
+    )
+    chan, gn = pl.pallas_call(
+        kernel,
+        grid=(P // tp, n_tiles_s, nm_p // tm),
+        in_specs=[
+            pl.BlockSpec((1, 8, ts), lambda p, i, j: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 8, tm), lambda p, i, j: (p, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tp, 8, ts), lambda p, i, j: (p, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 16, 128), lambda p, i, j: (p, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, 8, ns_p), jnp.float32),
+            jax.ShapeDtypeStruct((P, 16, 128 * n_tiles_s), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(9 + 2 * 8 * 2) * P * ns_p * nm_p
+            + 6 * 2 * 16 * 128 * P * ns_p,
+            bytes_accessed=4 * P * (
+                ns_p * 8 * 0 + nm_p * 8 * (ns_p // ts) + 8 * ns_p
+                + 16 * 128 * n_tiles_s
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qt, rt)
+    # sum the per-scene-tile partial quadratic forms, slice the payload
+    total = gn.reshape(P, 16, n_tiles_s, 128).sum(axis=2)[:, :, :16]
+    H = total[:, :6, :6]
+    g = total[:, 6, :6]
+    wrr = total[:, 6, 6]
+    hits = total[:, 7, 7]
+    wsum = total[:, 8, 8]
+    return H, g, wsum, hits, wrr
+
+
+def make_gn_fn(
+    *, maxd2: float, min_cos: float, tau2: float = 0.0,
+    tile_s: int = 2048, tile_m: int = 512, tile_p: int = 8,
+    interpret: bool | None = None,
+):
+    """A `gn_fn(scene_c, scene_normals, scene_w, ref_c [P,Nm,3],
+    ref_normals) -> (H, g, wsum, hits, wrr)` drop-in for
+    ops/icp.icp_batched(..., gn_fn=...), backed by the fused kernel."""
+    if interpret is None:
+        interpret = not default_on_tpu()
+
+    def gn_fn(scene_c, scene_normals, scene_w, ref_c, ref_normals):
+        return nn_gn_batched(
+            scene_c, scene_normals, scene_w, ref_c, ref_normals,
+            maxd2=maxd2, min_cos=min_cos, tau2=tau2,
+            tile_s=tile_s, tile_m=tile_m, tile_p=tile_p,
+            interpret=interpret,
+        )
+
+    return gn_fn
+
+
 def make_corr_fn(
     *, tile_s: int = 2048, tile_m: int = 512, tile_p: int = 8,
     interpret: bool | None = None

@@ -130,6 +130,10 @@ def pso(
     score_cfg: ScoreConfig = ScoreConfig(),
     nn_fn=None,
     corr_fn=None,
+    gn_fn=None,     # fused NN+GN kernel for the IN-SCAN refine (and the
+                    # explorer pulls): knn_pallas.make_gn_fn. The final
+                    # polish always keeps the corr_fn path — its full-cloud
+                    # multi-rep GN is the accuracy-critical step
     axis_name: str | None = None,
     observed_neutral: jax.Array | None = None,  # [h,w] measured-but-
                        # excluded pixels (hand drop/speckle) — encoded as
@@ -264,7 +268,7 @@ def pso(
             damping=icp_cfg.damping,
             step_scale=icp_cfg.step_scale,
             gn_reps=icp_cfg.gn_reps,
-            nn_fn=nn_fn, corr_fn=corr_fn,
+            nn_fn=nn_fn, corr_fn=corr_fn, gn_fn=gn_fn,
             support_tau=cov_tau if use_cov else 0.0,
         )
         return refined, st.support

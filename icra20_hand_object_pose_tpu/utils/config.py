@@ -57,6 +57,19 @@ class IcpConfig:
     normal_angle_max_deg: float = 60.0  # reject normal-incompatible pairs
     damping: float = 1e-6               # Levenberg damping on the 6x6 solve
     step_scale: float = 1.0
+    fused_gn: bool = False              # in-scan refine via the fully
+                                        # fused NN+GN Pallas kernel
+                                        # (knn_pallas.nn_gn_batched): the
+                                        # normal equations are built
+                                        # in-kernel and the matched-point
+                                        # streams never reach HBM. Each
+                                        # inner iteration is then ONE
+                                        # search x ONE linearization
+                                        # (gn_reps does not apply — the
+                                        # kernel deliberately does not
+                                        # emit the matched points a
+                                        # re-linearization would need).
+                                        # TPU only; A/B before enabling.
     gn_reps: int = 3                    # GN re-linearizations per NN
                                         # search (correspondence reuse —
                                         # each rep re-poses the matched

@@ -26,7 +26,9 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
         particles: int, init_gt: bool = False, n_hyp: int = 1,
         motion_prior: float | None = None,
         tau_fine: float | None = None, seed: int = 3,
-        realistic: bool = False) -> dict:
+        realistic: bool = False,
+        joint_sigma: float | None = None,
+        fused_gn: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
@@ -51,11 +53,20 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
     tracker_kw = dict(n_hypotheses=n_hyp)
     if motion_prior is not None:
         tracker_kw["motion_prior"] = motion_prior
+    hand_kw = {}
+    if joint_sigma is not None:
+        from icra20_hand_object_pose_tpu.utils.config import HandConfig
+        hand_kw["hand"] = HandConfig(joint_sigma=joint_sigma)
+    icp_kw = {}
+    if fused_gn:
+        from icra20_hand_object_pose_tpu.utils.config import IcpConfig
+        icp_kw["icp"] = IcpConfig(fused_gn=True)
     cfg = EstimatorConfig(
         camera=cam, scene_points=2048,
         pso=PsoConfig(particles=particles, iters=10),
         score=ScoreConfig(**score_kw),
         tracker=TrackerConfig(**tracker_kw),
+        **hand_kw, **icp_kw,
     )
     mesh = meshio.make_test_object(shape)
     hand = make_t42_hand()
@@ -157,11 +168,16 @@ def main():
     ap.add_argument("--realistic", action="store_true",
                     help="full sensor model + hand calibration error "
                          "(VERDICT r3 item 3)")
+    ap.add_argument("--joint-sigma", type=float, default=None,
+                    help="override HandConfig.joint_sigma (A/B)")
+    ap.add_argument("--fused-gn", action="store_true",
+                    help="in-scan refine via the fused NN+GN kernel (A/B)")
     a = ap.parse_args()
     noises = {"clean": [False], "noisy": [True], "both": [False, True]}[a.noise]
     for n in noises:
         run(a.shape, n, not a.no_subpixel, a.frames, a.particles, a.init_gt,
-            a.hyp, a.motion_prior, a.tau_fine, a.seed, a.realistic)
+            a.hyp, a.motion_prior, a.tau_fine, a.seed, a.realistic,
+            a.joint_sigma, a.fused_gn)
 
 
 if __name__ == "__main__":

@@ -123,3 +123,81 @@ def test_icp_with_corr_fn():
         iters=10, max_corresp_dist=0.05, corr_fn=corr)
     errs = jax.vmap(lambda T: se3.add_error(T, T_gt, mpts))(refined)
     assert float(jnp.max(errs)) < 0.002, np.asarray(errs)
+
+
+def test_gn_kernel_matches_xla_build():
+    """Fused NN+GN kernel == NN + correspondence gates + the XLA H/g
+    build (VERDICT r3 item 6): H, g, inlier mass, support hits, and the
+    weighted residual power must all agree with the oracle composition."""
+    import math
+    kq, kr, kn, ksn, kw = jax.random.split(jax.random.key(7), 5)
+    P, Ns, Nm = 3, 90, 130
+    scene_c = jax.random.uniform(kq, (Ns, 3), minval=-0.2, maxval=0.2)
+    scene_n = jax.random.normal(ksn, (Ns, 3))
+    scene_n = scene_n / jnp.linalg.norm(scene_n, axis=-1, keepdims=True)
+    scene_n = scene_n.at[::7].set(0.0)         # padding-style zero normals
+    scene_w = (jax.random.uniform(kw, (Ns,)) > 0.2).astype(jnp.float32)
+    ref_c = jax.random.uniform(kr, (P, Nm, 3), minval=-0.2, maxval=0.2)
+    ref_n = jax.random.normal(kn, (P, Nm, 3))
+    ref_n = ref_n / jnp.linalg.norm(ref_n, axis=-1, keepdims=True)
+    maxd2, tau2 = 0.05 ** 2, 0.03 ** 2
+    min_cos = math.cos(math.radians(60.0))
+    H, g, wsum, hits, wrr = knn_pallas.nn_gn_batched(
+        scene_c, scene_n, scene_w, ref_c, ref_n,
+        maxd2=maxd2, min_cos=min_cos, tau2=tau2,
+        tile_s=64, tile_m=64, interpret=True,
+    )
+    from icra20_hand_object_pose_tpu.ops import icp
+    for p in range(P):
+        idx, d2 = knn.nn(scene_c, ref_c[p])
+        m = ref_c[p][idx]
+        n = ref_n[p][idx]
+        w = icp.correspondence_weights(
+            d2, scene_n, n, scene_w, math.sqrt(maxd2), min_cos
+        )
+        r = jnp.sum(n * (scene_c - m), axis=-1)
+        J = jnp.concatenate([jnp.cross(m, n), n], axis=-1)
+        wJ = J * w[:, None]
+        H_ref = jnp.einsum("ni,nj->ij", wJ, J,
+                           precision=jax.lax.Precision.HIGHEST)
+        g_ref = jnp.einsum("ni,n->i", wJ, r,
+                           precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(H[p]), np.asarray(H_ref),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g[p]), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(float(wsum[p]), float(jnp.sum(w)),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            float(hits[p]),
+            float(jnp.sum(scene_w * (d2 < tau2))), rtol=1e-5)
+        np.testing.assert_allclose(float(wrr[p]), float(jnp.sum(w * r * r)),
+                                   rtol=1e-4, atol=1e-8)
+
+
+def test_icp_with_gn_fn():
+    """Batched ICP through the fused GN path converges like the
+    corr_fn path (same scene; fused runs 1 linearization per search)."""
+    from icra20_hand_object_pose_tpu.ops import icp
+    from icra20_hand_object_pose_tpu.utils import meshio, se3
+
+    mesh = meshio.make_test_object("box")
+    mpts, mnrm = mesh.sample_surface(128, seed=0)
+    mpts, mnrm = jnp.asarray(mpts), jnp.asarray(mnrm)
+    T_gt = se3.make_pose(jnp.eye(3), jnp.asarray([0.0, 0.0, 0.4]))
+    scene = se3.transform_points(T_gt, mpts)
+    snrm = se3.rotate_vectors(T_gt, mnrm)
+    w = jnp.ones(scene.shape[0])
+    keys = jax.random.split(jax.random.key(6), 4)
+    poses0 = jax.vmap(lambda k: se3.perturb_pose(k, T_gt, 0.05, 0.008))(keys)
+    import math
+    gn = knn_pallas.make_gn_fn(
+        maxd2=0.05 ** 2, min_cos=math.cos(math.radians(60.0)),
+        tau2=0.03 ** 2, tile_s=128, tile_m=128, interpret=True,
+    )
+    refined, stats = icp.icp_batched(
+        poses0, scene, snrm, w, mpts, mnrm,
+        iters=10, max_corresp_dist=0.05, gn_fn=gn)
+    errs = jax.vmap(lambda T: se3.add_error(T, T_gt, mpts))(refined)
+    assert float(jnp.max(errs)) < 0.002, np.asarray(errs)
+    assert float(jnp.min(stats.support)) > 0.9   # converged: explained
