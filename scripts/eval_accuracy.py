@@ -28,7 +28,8 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
         tau_fine: float | None = None, seed: int = 3,
         realistic: bool = False,
         joint_sigma: float | None = None,
-        fused_gn: bool = False) -> dict:
+        fused_gn: bool = False,
+        finisher: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
@@ -61,9 +62,14 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
     if fused_gn:
         from icra20_hand_object_pose_tpu.utils.config import IcpConfig
         icp_kw["icp"] = IcpConfig(fused_gn=True)
+    pso_kw = dict(particles=particles, iters=10)
+    if finisher:
+        fi, fp, fr = (int(x) for x in finisher.split(","))
+        pso_kw.update(finish_iters=fi, finish_particles=fp,
+                      finish_sigma_rungs=fr)
     cfg = EstimatorConfig(
         camera=cam, scene_points=2048,
-        pso=PsoConfig(particles=particles, iters=10),
+        pso=PsoConfig(**pso_kw),
         score=ScoreConfig(**score_kw),
         tracker=TrackerConfig(**tracker_kw),
         **hand_kw, **icp_kw,
@@ -172,12 +178,14 @@ def main():
                     help="override HandConfig.joint_sigma (A/B)")
     ap.add_argument("--fused-gn", action="store_true",
                     help="in-scan refine via the fused NN+GN kernel (A/B)")
+    ap.add_argument("--finisher", default=None,
+                    help="override finisher shape as iters,particles,rungs")
     a = ap.parse_args()
     noises = {"clean": [False], "noisy": [True], "both": [False, True]}[a.noise]
     for n in noises:
         run(a.shape, n, not a.no_subpixel, a.frames, a.particles, a.init_gt,
             a.hyp, a.motion_prior, a.tau_fine, a.seed, a.realistic,
-            a.joint_sigma, a.fused_gn)
+            a.joint_sigma, a.fused_gn, a.finisher)
 
 
 if __name__ == "__main__":
