@@ -157,28 +157,47 @@ class Estimator:
         bias-matched)."""
         cfg = self.cfg
         cam = cfg.camera
+        n_sel = cfg.hand.config_select
+        need_lo = cfg.hand.base_refine_iters > 0 or (
+            0 < n_sel < cfg.hand.config_samples
+        )
+        if need_lo:
+            # the render-space agreement grid: observed depth on the same
+            # min-pooled low-res lattice the scorer uses (bias-matched to
+            # the candidate splats; see config_agreement docstring)
+            dvalid = (depth_m > cfg.depth_min) & (depth_m < cfg.depth_max)
+            if self.render_factor == 1:
+                d_lo_h, v_lo_h = depth_m, dvalid
+            else:
+                d_lo_h, v_lo_h = preprocess.downsample_depth(
+                    depth_m, dvalid, self.render_factor
+                )
+        if cfg.hand.base_refine_iters > 0:
+            # hand-mount calibration correction: fit the reported base to
+            # the observed depth before ANY mask is built — the sampled
+            # joint configs below all inherit the base, so a wrong base
+            # corrupts every mask identically (models/hand.refine_base)
+            key, k_base = jax.random.split(key)
+            hand_base = self.hand.refine_base(
+                k_base, d_lo_h, v_lo_h, hand_base, hand_q,
+                fx=self.lo_fx, fy=self.lo_fy, cx=self.lo_cx, cy=self.lo_cy,
+                height=self.lo_h, width=self.lo_w,
+                iters=cfg.hand.base_refine_iters,
+                candidates=cfg.hand.base_refine_candidates,
+                rot_sigma=cfg.hand.base_refine_rot_sigma,
+                trans_sigma=cfg.hand.base_refine_trans_sigma,
+                q_sigma=cfg.hand.joint_sigma,
+            )
         clouds = self.hand.sampled_clouds(
             key, hand_base, hand_q, cfg.hand.joint_sigma, cfg.hand.config_samples
         )                                             # [K,Nh,3]
-        n_sel = cfg.hand.config_select
         if 0 < n_sel < clouds.shape[0]:
-            dvalid = (depth_m > cfg.depth_min) & (depth_m < cfg.depth_max)
-            if self.render_factor == 1:
-                agree = self.hand.config_agreement(
-                    clouds, depth_m, dvalid,
-                    fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
-                    height=cam.height, width=cam.width,
-                )
-            else:
-                d_lo, v_lo = preprocess.downsample_depth(
-                    depth_m, dvalid, self.render_factor
-                )
-                agree = self.hand.config_agreement(
-                    clouds, d_lo, v_lo,
-                    fx=self.lo_fx, fy=self.lo_fy,
-                    cx=self.lo_cx, cy=self.lo_cy,
-                    height=self.lo_h, width=self.lo_w,
-                )
+            agree = self.hand.config_agreement(
+                clouds, d_lo_h, v_lo_h,
+                fx=self.lo_fx, fy=self.lo_fy,
+                cx=self.lo_cx, cy=self.lo_cy,
+                height=self.lo_h, width=self.lo_w,
+            )
             _, top = jax.lax.top_k(agree, n_sel)
             clouds = clouds[top]
         flat = clouds.reshape(-1, 3)

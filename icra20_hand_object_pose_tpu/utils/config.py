@@ -287,6 +287,18 @@ class HandConfig:
                                         # nominal q silently over-drops
                                         # object evidence — VERDICT r2)
     joint_sigma: float = 0.12           # radians; actuation uncertainty
+    base_refine_iters: int = 0          # >0: annealed render-space search
+                                        # correcting the reported hand
+                                        # BASE against the observed depth
+                                        # before any mask is built — the
+                                        # hand-mount calibration error the
+                                        # joint-config sampling cannot
+                                        # absorb (models/hand.refine_base)
+    base_refine_candidates: int = 16    # sampled bases per search round
+    base_refine_rot_sigma: float = 0.06  # radians; round-1 spread (annealed
+                                         # x0.5/round; covers ~3 deg / ~25 mm
+                                         # extrinsic error at 2 sigma)
+    base_refine_trans_sigma: float = 0.012  # meters
     enabled: bool = True
     spec: str = "t42"                   # "t42" | "model_o" (procedural
                                         # built-ins) or a hand-spec YAML

@@ -29,7 +29,8 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
         realistic: bool = False,
         joint_sigma: float | None = None,
         fused_gn: bool = False,
-        finisher: str | None = None) -> dict:
+        finisher: str | None = None,
+        base_refine: int = -1) -> dict:
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
@@ -55,9 +56,16 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
     if motion_prior is not None:
         tracker_kw["motion_prior"] = motion_prior
     hand_kw = {}
-    if joint_sigma is not None:
+    if joint_sigma is not None or (realistic and base_refine != 0):
         from icra20_hand_object_pose_tpu.utils.config import HandConfig
-        hand_kw["hand"] = HandConfig(joint_sigma=joint_sigma)
+        hkw = {}
+        if joint_sigma is not None:
+            hkw["joint_sigma"] = joint_sigma
+        if realistic and base_refine != 0:
+            # calibration error regime -> hand-mount base search on
+            # (3 rounds default; --base-refine 0 disables for A/B)
+            hkw["base_refine_iters"] = base_refine if base_refine > 0 else 3
+        hand_kw["hand"] = HandConfig(**hkw)
     icp_kw = {}
     if fused_gn:
         from icra20_hand_object_pose_tpu.utils.config import IcpConfig
@@ -180,12 +188,15 @@ def main():
                     help="in-scan refine via the fused NN+GN kernel (A/B)")
     ap.add_argument("--finisher", default=None,
                     help="override finisher shape as iters,particles,rungs")
+    ap.add_argument("--base-refine", type=int, default=-1,
+                    help="hand-base refine rounds in --realistic mode "
+                         "(-1 = auto 3, 0 = off for A/B)")
     a = ap.parse_args()
     noises = {"clean": [False], "noisy": [True], "both": [False, True]}[a.noise]
     for n in noises:
         run(a.shape, n, not a.no_subpixel, a.frames, a.particles, a.init_gt,
             a.hyp, a.motion_prior, a.tau_fine, a.seed, a.realistic,
-            a.joint_sigma, a.fused_gn, a.finisher)
+            a.joint_sigma, a.fused_gn, a.finisher, a.base_refine)
 
 
 if __name__ == "__main__":

@@ -252,3 +252,63 @@ def test_config_select_recovers_evidence_under_wrong_nominal_q():
     # and tracking must not get worse (both start at GT here; per-seed
     # PSO noise at this tiny 64-particle config is ~2-6 mm either way)
     assert e_sel < max(1.5 * e_union, 0.006), results
+
+
+def test_refine_base_recovers_calibration_error():
+    """Hand-mount calibration refinement (models/hand.refine_base): a
+    reported base displaced ~10-30 mm by an extrinsic error (3 deg about
+    the camera origin + 5 mm, the realistic-regime model) must come back
+    within mask tolerance of the true hand surface, measured as mean
+    true-cloud -> model-cloud distance, and an exactly-calibrated base
+    must not drift beyond that same tolerance."""
+    from icra20_hand_object_pose_tpu.datasets import (
+        default_object_pose, hand_base_for_grasp, render_frame_fast,
+    )
+    from icra20_hand_object_pose_tpu.utils import meshio
+    from icra20_hand_object_pose_tpu.utils.config import CameraIntrinsics
+
+    cam = CameraIntrinsics(width=320, height=240, fx=285.0, fy=285.0,
+                           cx=160.0, cy=120.0)
+    hand = make_t42_hand(points_per_link=128)
+    mesh = meshio.make_test_object("box")
+    pose = default_object_pose()
+    hb_true = hand_base_for_grasp(pose)
+    q_true = np.asarray([0.6, 0.6], np.float32)   # nominal is 0.15 off
+    q_nom = jnp.asarray([0.45, 0.45], np.float32)
+    depth = jnp.asarray(
+        render_frame_fast(mesh, pose, hand, hb_true, q_true, cam,
+                          noise_sigma=0.001)
+    )
+    valid = depth > 0
+    refine = jax.jit(lambda k, hb: hand.refine_base(
+        k, depth, valid, hb, q_nom,
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+        height=cam.height, width=cam.width,
+    ))
+    true_cloud = np.asarray(hand.cloud(jnp.asarray(hb_true),
+                                       jnp.asarray(q_true)))
+
+    def cloud_err_mm(hb):
+        c = np.asarray(hand.cloud(jnp.asarray(hb), q_nom))
+        d2 = ((true_cloud[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return float(np.sqrt(d2.min(1)).mean()) * 1000
+
+    rng = np.random.default_rng(1)
+    improved = 0
+    for trial in range(3):
+        w = rng.normal(size=3)
+        w = w / np.linalg.norm(w) * np.radians(3.0)
+        v = rng.normal(size=3)
+        v = v / np.linalg.norm(v) * 0.005
+        err = np.asarray(se3.se3_exp(
+            jnp.asarray(np.concatenate([w, v]), jnp.float32)))
+        hb_rep = jnp.asarray((err @ hb_true).astype(np.float32))
+        before = cloud_err_mm(hb_rep)
+        after = cloud_err_mm(refine(jax.random.key(trial), hb_rep))
+        # mask tolerance: HandConfig.segment_dist = 8 mm
+        assert after < 9.0, (trial, before, after)
+        improved += after < before
+    assert improved >= 2, "refine must improve most drawn errors"
+    # an exactly-calibrated base must stay within mask tolerance
+    drift = cloud_err_mm(refine(jax.random.key(9), jnp.asarray(hb_true)))
+    assert drift < 9.0, drift
