@@ -109,6 +109,12 @@ class Estimator:
             self._step_jit = jax.jit(self._frame_step, static_argnames=statics)
         else:
             self._step_jit = jax.jit(self._sharded_step, static_argnames=statics)
+        # per-mode constant device arrays for frame_args: through the axon
+        # tunnel every eager jnp.asarray is a separate host->device
+        # round-trip (~ms each), so the 4 sigma/flag scalars and the
+        # default hand tensors are materialized once, not per frame
+        self._mode_consts: dict = {}
+        self._hand_defaults: tuple | None = None
 
     def _sharded_step(self, *args, n_particles: int, pso_iters: int,
                       resample_after: int = 0, prescreen: int = 0,
@@ -544,10 +550,13 @@ class Estimator:
                 f"prev_pose must be [4,4] or [n_hyp,4,4], got {prev_pose.shape}"
             )
         J = self.hand.n_joints if self.hand is not None else 1
-        if hand_base is None:
-            hand_base = jnp.eye(4)
-        if hand_q is None:
-            hand_q = jnp.zeros((J,))
+        if hand_base is None or hand_q is None:
+            if self._hand_defaults is None:
+                self._hand_defaults = (jnp.eye(4), jnp.zeros((J,)))
+            if hand_base is None:
+                hand_base = self._hand_defaults[0]
+            if hand_q is None:
+                hand_q = self._hand_defaults[1]
         hand_q = jnp.asarray(hand_q)
         if self.hand is not None and hand_q.shape != (J,):
             raise ValueError(
@@ -591,14 +600,20 @@ class Estimator:
                 + (f" over {self.mesh.size} shards)" if self.mesh is not None
                    else ")")
             )
+        consts = self._mode_consts.get(mode)
+        if consts is None:
+            consts = (
+                jnp.asarray(args["rot_sigma"], jnp.float32),
+                jnp.asarray(args["trans_sigma"], jnp.float32),
+                jnp.asarray(args["uniform_rot"]),
+                jnp.asarray(args["roi_radius"], jnp.float32),
+            )
+            self._mode_consts[mode] = consts
         dyn = (
             key, depth_m, prev_pose, hand_base, hand_q,
             (self.obj.model_pts, self.obj.model_normals,
              self.obj.render_pts, self.obj.render_normals, self.obj.render_w),
-            jnp.asarray(args["rot_sigma"], jnp.float32),
-            jnp.asarray(args["trans_sigma"], jnp.float32),
-            jnp.asarray(args["uniform_rot"]),
-            jnp.asarray(args["roi_radius"], jnp.float32),
+            *consts,
         )
         static = dict(
             n_particles=args["n_particles"], pso_iters=args["pso_iters"],
@@ -631,7 +646,8 @@ class TrackerState(NamedTuple):
     """Small pytree — the whole resumable tracker state (SURVEY.md §6
     checkpoint/resume)."""
     pose: jax.Array        # [4,4] last committed pose
-    frame_idx: jax.Array   # int32
+    frame_idx: int         # host-side counter (a device int would cost a
+                           # tunnel fetch per frame in TrackResult)
     key: jax.Array         # rng key
     initialized: jax.Array  # bool
     fitness: jax.Array     # last frame's fitness
@@ -667,55 +683,50 @@ class Tracker:
         self.est = est
         self.state = TrackerState(
             pose=jnp.eye(4),
-            frame_idx=jnp.asarray(0, jnp.int32),
+            frame_idx=0,
             key=jax.random.key(seed),
             initialized=jnp.asarray(False),
             fitness=jnp.asarray(0.0),
             coverage=jnp.asarray(1.0),
         )
+        # step()'s per-frame glue (RNG split, watchdog predicate, prior
+        # construction) is ONE jitted program: run eagerly it was ~10
+        # small device dispatches + 3 scalar fetches, and through the
+        # axon tunnel each fetch serializes against the in-flight frame —
+        # measured 122.5 ms/frame end-to-end against a 34 ms device
+        # program (r4 A/B, 512p VGA). Jitted glue + ONE packed watchdog
+        # fetch + the speculative dispatch in step() leaves 35.6 ms.
+        self._prep_jit = jax.jit(self._prep)
+        self._true = jnp.asarray(True)
 
-    def step(
-        self,
-        depth_m: jax.Array,
-        hand_base: jax.Array | None = None,
-        hand_q: jax.Array | None = None,
-    ) -> TrackResult:
-        st = self.state
-        key, sub = jax.random.split(st.key)
-        # NOTE: float(st.fitness) forces one host round-trip per frame. It
-        # is unavoidable here because the watchdog decision switches
-        # between two DIFFERENT compiled programs (track vs init differ in
-        # n_particles/pso_iters, which are static shapes) — a device-side
-        # lax.cond cannot change program shape. Cost is ~us against a
-        # ~100ms frame; if frame pipelining ever matters, follow
-        # LibrarySweep (parallel/sharding.py), which keeps equal shapes for
-        # both modes and decides on-device.
+    def _prep(self, st: TrackerState):
+        """Jitted per-frame glue: RNG split, the watchdog predicate
+        (packed into ONE bool for a single host fetch), and both modes'
+        prior stacks."""
         tr_cfg = self.est.cfg.tracker
-        need_init = (not bool(st.initialized)) or (
-            float(st.fitness) < tr_cfg.fitness_reinit_threshold
-            and bool(st.initialized)
-        ) or (
-            # coverage watchdog: fitness is a per-counted-sample average, so
-            # a drifted pose that sheds its evidence pixels can stay
-            # "confident" (documented mode: 71 mm wrong, fitness 0.99,
-            # coverage 0.007 — score.py header). Coverage collapse is the
-            # second line of defense the fitness test cannot provide.
-            tr_cfg.coverage_reinit_threshold > 0.0
-            and bool(st.initialized)
-            and st.coverage is not None
-            and float(st.coverage) < tr_cfg.coverage_reinit_threshold
+        H = tr_cfg.n_hypotheses
+        alpha = tr_cfg.motion_prior
+        key, sub = jax.random.split(st.key)
+        # fitness collapse OR coverage collapse: fitness is a per-counted-
+        # sample average, so a drifted pose that sheds its evidence pixels
+        # can stay "confident" (documented mode: 71 mm wrong, fitness
+        # 0.99, coverage 0.007 — score.py header). Coverage collapse is
+        # the second line of defense the fitness test cannot provide.
+        need_init = ~st.initialized | (
+            st.fitness < tr_cfg.fitness_reinit_threshold
         )
-        mode = "init" if need_init else "track"
-        H = self.est.cfg.tracker.n_hypotheses
-        alpha = self.est.cfg.tracker.motion_prior
-        if H > 1 and st.hyp_poses is not None and not need_init:
+        if tr_cfg.coverage_reinit_threshold > 0.0 and st.coverage is not None:
+            need_init |= st.initialized & (
+                st.coverage < tr_cfg.coverage_reinit_threshold
+            )
+        if H > 1 and st.hyp_poses is not None:
             # carry every competing basin forward; slots that never held a
             # distinct basin (fitness -inf) re-seed from the best pose
-            prev = jnp.where(
+            prev_t = jnp.where(
                 jnp.isfinite(st.hyp_fitness)[:, None, None],
                 st.hyp_poses, st.pose[None],
             )
-        elif H == 1 and alpha > 0.0 and not need_init:
+        elif H == 1 and alpha > 0.0:
             # Constant-velocity prior: the swarm splits between the last
             # pose AND its extrapolation by (a damped power of) the last
             # frame-to-frame delta. Exact for constant rigid motion; the
@@ -730,17 +741,50 @@ class Tracker:
                 predicted = se3.compose(delta, st.pose)
             else:
                 predicted = st.pose
-            prev = jnp.stack([predicted, st.pose])
+            prev_t = jnp.stack([predicted, st.pose])
         else:
-            prev = jnp.tile(st.pose[None], (H, 1, 1)) if H > 1 else st.pose
-        out = self.est.estimate(
-            depth_m, prev, hand_base, hand_q, key=sub, mode=mode
-        )
+            prev_t = jnp.tile(st.pose[None], (H, 1, 1)) if H > 1 else st.pose
+        prev_i = jnp.tile(st.pose[None], (H, 1, 1)) if H > 1 else st.pose
+        return key, sub, prev_t, prev_i, need_init
+
+    def step(
+        self,
+        depth_m: jax.Array,
+        hand_base: jax.Array | None = None,
+        hand_q: jax.Array | None = None,
+    ) -> TrackResult:
+        st = self.state
+        H = self.est.cfg.tracker.n_hypotheses
+        key, sub, prev_t, prev_i, need_init_dev = self._prep_jit(st)
+        # NOTE: bool(need_init) forces one host round-trip per frame. It
+        # is unavoidable because the watchdog decision switches between
+        # two DIFFERENT compiled programs (track vs init differ in
+        # n_particles/pso_iters, which are static shapes) — a device-side
+        # lax.cond cannot change program shape. When the LAST frame was
+        # tracked (the steady state), the track program is dispatched
+        # SPECULATIVELY before the watchdog bool is read, so the fetch's
+        # round-trip hides under device compute instead of serializing in
+        # front of it (tunnel A/B, 512p VGA: 122.5 ms eager-glue r3 step
+        # -> 61.8 jitted glue -> 35.6 speculative — the 34.15 ms device
+        # program IS the frame time now). A re-init frame then wastes one
+        # track execution — rare by construction.
+        out = None
+        if st.pose_tracked:
+            out = self.est.estimate(
+                depth_m, prev_t, hand_base, hand_q, key=sub, mode="track"
+            )
+        need_init = bool(need_init_dev)
+        if out is None or need_init:
+            mode = "init" if need_init else "track"
+            out = self.est.estimate(
+                depth_m, prev_i if need_init else prev_t, hand_base, hand_q,
+                key=sub, mode=mode,
+            )
         self.state = TrackerState(
             pose=out.pose,
             frame_idx=st.frame_idx + 1,
             key=key,
-            initialized=jnp.asarray(True),
+            initialized=self._true,
             fitness=out.fitness,
             coverage=out.coverage,
             hyp_poses=out.hyp_poses if H > 1 else None,
@@ -790,7 +834,7 @@ class Tracker:
         z = np.load(_ckpt_path(path))
         self.state = TrackerState(
             pose=jnp.asarray(z["pose"]),
-            frame_idx=jnp.asarray(z["frame_idx"]),
+            frame_idx=int(z["frame_idx"]),
             key=jax.random.wrap_key_data(jnp.asarray(z["key"])),
             initialized=jnp.asarray(bool(z["initialized"])),
             fitness=jnp.asarray(z["fitness"]),

@@ -236,6 +236,26 @@ class LibrarySweep:
             self._sweep_jit = jax.jit(
                 self._sweep_step, static_argnums=statics, **kwargs
             )
+        # step()'s glue (RNG splits, prior construction, merge + state
+        # update) is jitted: run eagerly it was ~20 small device dispatches
+        # per frame, and through the axon tunnel that cost 90.5 ms of a
+        # 294.7 ms sweep step (measured r4, 8 obj x 128p VGA). Jitted glue
+        # + ONE packed watchdog fetch leaves 4 dispatches + 1 tiny fetch.
+        prep_kwargs = {}
+        if obj_sharding is not None:
+            # _prep's outputs feed _sweep_jit, whose in_shardings demand
+            # the object axis; emit them already placed (key replicated).
+            prep_kwargs = dict(out_shardings=(
+                None, obj_sharding, obj_sharding,  # key, keys_track/init
+                obj_sharding, obj_sharding,        # prev_t, prev_i
+                obj_sharding,                      # need_init
+            ))
+        self._prep_jit = jax.jit(self._prep, **prep_kwargs)
+        self._finish_jit = jax.jit(self._finish, static_argnums=(0,))
+        # host-side speculation hint (see step): True when the previous
+        # frame left at least one object tracked, i.e. the track program
+        # will (almost surely) be needed this frame too
+        self._spec_track = False
 
     def _sweep_step(
         self, keys, depths, prev_poses, hand_bases, hand_qs, obj_tensors,
@@ -308,14 +328,12 @@ class LibrarySweep:
             tr.reinit_prescreen, True,
         )
 
-    def step(
-        self,
-        state: SweepState,
-        depths: jax.Array,      # [O,H,W] meters
-        hand_bases: jax.Array | None = None,  # [O,4,4]
-        hand_qs: jax.Array | None = None,     # [O,J]
-    ) -> tuple[SweepState, SweepResult]:
-        """One frame for every object in the library."""
+    def _prep(self, state: SweepState):
+        """Jitted per-frame glue, part 1 (see __init__): RNG splits, the
+        watchdog predicate, and BOTH modes' prior stacks in one device
+        program. The watchdog predicate is the SAME as Tracker.step's
+        (fitness collapse OR coverage collapse), evaluated on device and
+        returned as one [O] bool for a single tiny host fetch."""
         cfg = self.cfg
         tr = cfg.tracker
         O = self.n_objects
@@ -323,69 +341,56 @@ class LibrarySweep:
         key, k_t, k_i = jax.random.split(state.key, 3)
         keys_track = jax.random.split(k_t, O)
         keys_init = jax.random.split(k_i, O)
-        if hand_bases is None:
-            hand_bases = jnp.tile(jnp.eye(4)[None], (O, 1, 1))
-        if hand_qs is None:
-            J = self._est.hand.n_joints if self._est.hand is not None else 1
-            hand_qs = jnp.zeros((O, J))
-        # per-object watchdog, host-side — the SAME predicate as
-        # Tracker.step (fitness collapse OR coverage collapse). One tiny
-        # [O] fetch per frame; the two modes are different compiled
-        # programs (static swarm shapes), so the dispatch cannot be a
-        # device-side cond.
-        fit = np.asarray(state.fitness)
-        inited = np.asarray(state.initialized)
-        need_init = (~inited) | (fit < tr.fitness_reinit_threshold)
+        need_init = (~state.initialized) | (
+            state.fitness < tr.fitness_reinit_threshold
+        )
         if tr.coverage_reinit_threshold > 0.0 and state.coverage is not None:
-            need_init |= inited & (
-                np.asarray(state.coverage) < tr.coverage_reinit_threshold
+            need_init |= state.initialized & (
+                state.coverage < tr.coverage_reinit_threshold
             )
-        any_init = bool(need_init.any())
-        all_init = bool(need_init.all())
-
-        out_t = None
-        if not all_init:
-            # tracked-mode prior: competing-basin hypotheses (H>1) or the
-            # constant-velocity 2-prior stack (H==1, motion_prior>0) —
-            # the batched mirror of Tracker.step's prior construction.
-            alpha = tr.motion_prior
-            if H > 1 and state.hyp_poses is not None:
-                prev = jnp.where(
-                    jnp.isfinite(state.hyp_fitness)[..., None, None],
-                    state.hyp_poses, state.poses[:, None],
-                )
-            elif H == 1 and alpha > 0.0:
-                pp = (state.prev_poses if state.prev_poses is not None
-                      else state.poses)
-                delta = se3.compose(state.poses, se3.inverse(pp))
-                if alpha != 1.0:
-                    delta = se3.se3_exp(alpha * se3.se3_log(delta))
-                vel_ok = (state.vel_ok if state.vel_ok is not None
-                          else jnp.zeros((O,), bool))
-                delta = jnp.where(
-                    vel_ok[:, None, None], delta, jnp.eye(4, dtype=delta.dtype)
-                )
-                predicted = se3.compose(delta, state.poses)
-                prev = jnp.stack([predicted, state.poses], axis=1)  # [O,2,4,4]
-            else:
-                prev = (state.poses if H == 1
-                        else jnp.tile(state.poses[:, None], (1, H, 1, 1)))
-            out_t = self._run(
-                keys_track, depths, prev, hand_bases, hand_qs, "track"
+        # tracked-mode prior: competing-basin hypotheses (H>1) or the
+        # constant-velocity 2-prior stack (H==1, motion_prior>0) —
+        # the batched mirror of Tracker.step's prior construction.
+        alpha = tr.motion_prior
+        if H > 1 and state.hyp_poses is not None:
+            prev_t = jnp.where(
+                jnp.isfinite(state.hyp_fitness)[..., None, None],
+                state.hyp_poses, state.poses[:, None],
             )
-        out_i = None
-        if any_init:
-            prev_i = (state.poses if H == 1
+        elif H == 1 and alpha > 0.0:
+            pp = (state.prev_poses if state.prev_poses is not None
+                  else state.poses)
+            delta = se3.compose(state.poses, se3.inverse(pp))
+            if alpha != 1.0:
+                delta = se3.se3_exp(alpha * se3.se3_log(delta))
+            vel_ok = (state.vel_ok if state.vel_ok is not None
+                      else jnp.zeros((O,), bool))
+            delta = jnp.where(
+                vel_ok[:, None, None], delta, jnp.eye(4, dtype=delta.dtype)
+            )
+            predicted = se3.compose(delta, state.poses)
+            prev_t = jnp.stack([predicted, state.poses], axis=1)  # [O,2,4,4]
+        else:
+            prev_t = (state.poses if H == 1
                       else jnp.tile(state.poses[:, None], (1, H, 1, 1)))
-            out_i = self._run(
-                keys_init, depths, prev_i, hand_bases, hand_qs, "init"
-            )
+        prev_i = (state.poses if H == 1
+                  else jnp.tile(state.poses[:, None], (1, H, 1, 1)))
+        return key, keys_track, keys_init, prev_t, prev_i, need_init
 
-        m = jnp.asarray(need_init)
-        if out_t is None:
+    def _finish(self, mode: str, state: SweepState, key, need_init,
+                out_t: FrameResult | None, out_i: FrameResult | None):
+        """Jitted per-frame glue, part 2 (see __init__): merge track/init
+        results by the watchdog mask and build the next SweepState.
+        `mode` is static — 'track' / 'init' / 'both' name step()'s three
+        dispatch patterns (each a distinct trace anyway, since the unused
+        FrameResult is None)."""
+        O = self.n_objects
+        H = self.cfg.tracker.n_hypotheses
+        m = need_init
+        if mode == "init":
             pose, fitness, coverage = out_i.pose, out_i.fitness, out_i.coverage
             hyp_p, hyp_f = out_i.hyp_poses, out_i.hyp_fitness
-        elif out_i is None:
+        elif mode == "track":
             pose, fitness, coverage = out_t.pose, out_t.fitness, out_t.coverage
             hyp_p, hyp_f = out_t.hyp_poses, out_t.hyp_fitness
         else:
@@ -426,6 +431,53 @@ class LibrarySweep:
             hyp_poses=hyp_p if H > 1 else None,
             hyp_fitness=hyp_f if H > 1 else None,
         )
+
+    def step(
+        self,
+        state: SweepState,
+        depths: jax.Array,      # [O,H,W] meters
+        hand_bases: jax.Array | None = None,  # [O,4,4]
+        hand_qs: jax.Array | None = None,     # [O,J]
+    ) -> tuple[SweepState, SweepResult]:
+        """One frame for every object in the library."""
+        O = self.n_objects
+        if hand_bases is None:
+            hand_bases = jnp.tile(jnp.eye(4)[None], (O, 1, 1))
+        if hand_qs is None:
+            J = self._est.hand.n_joints if self._est.hand is not None else 1
+            hand_qs = jnp.zeros((O, J))
+        key, keys_track, keys_init, prev_t, prev_i, need_init = (
+            self._prep_jit(state)
+        )
+        # Speculative dispatch (mirrors Tracker.step): when the previous
+        # frame left any object tracked, the track program is needed this
+        # frame too unless EVERY object's watchdog fired at once — so it
+        # is dispatched before the watchdog mask is read and the fetch's
+        # tunnel round-trip hides under device compute.
+        out_t = None
+        if self._spec_track:
+            out_t = self._run(
+                keys_track, depths, prev_t, hand_bases, hand_qs, "track"
+            )
+        # the ONE host fetch per frame: the [O] watchdog mask. The two
+        # modes are different compiled programs (static swarm shapes), so
+        # the dispatch below cannot be a device-side cond.
+        ni = np.asarray(need_init)
+        any_init = bool(ni.any())
+        all_init = bool(ni.all())
+        self._spec_track = not all_init
+        if all_init:
+            out_t = None  # discard a mispredicted speculative run
+        elif out_t is None:
+            out_t = self._run(
+                keys_track, depths, prev_t, hand_bases, hand_qs, "track"
+            )
+        out_i = None if not any_init else self._run(
+            keys_init, depths, prev_i, hand_bases, hand_qs, "init"
+        )
+        mode = ("both" if (out_t is not None and out_i is not None)
+                else "track" if out_t is not None else "init")
+        return self._finish_jit(mode, state, key, need_init, out_t, out_i)
 
     # -- checkpoint / resume -------------------------------------------------
 
