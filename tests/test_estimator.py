@@ -123,6 +123,47 @@ def test_tracker_sequence(setup):
     assert errs[-1] < 0.010, [e * 1000 for e in errs]
 
 
+def test_tracker_speculative_dispatch_bit_identical(setup):
+    """Tracker.step dispatches the track program SPECULATIVELY before the
+    watchdog bool is fetched (estimator.py Tracker.step). Speculation may
+    only change WHEN programs run, never their inputs: a step must be
+    bitwise identical to explicitly running _prep + the non-speculative
+    estimate with the same key."""
+    est = Estimator(setup["obj"], setup["hand"], setup["cfg"])
+    f = setup["frames"][0]
+    tracker = Tracker(est, seed=5)
+    tracker.state = tracker.state._replace(
+        pose=jnp.asarray(f.pose_gt), initialized=jnp.asarray(True),
+        fitness=jnp.asarray(1.0),
+    )
+    depth = jnp.asarray(f.depth)
+    hb, hq = jnp.asarray(f.hand_base), jnp.asarray(f.hand_q)
+    out0 = tracker.step(depth, hb, hq)          # pose_tracked False: direct
+    assert tracker.state.pose_tracked           # next step speculates
+    st = tracker.state
+    key, sub, prev_t, prev_i, ni = tracker._prep_jit(st)
+    assert not bool(ni)
+    ref = est.estimate(depth, prev_t, hb, hq, key=sub, mode="track")
+    out1 = tracker.step(depth, hb, hq)          # speculative path
+    np.testing.assert_array_equal(np.asarray(out1.pose), np.asarray(ref.pose))
+    np.testing.assert_array_equal(
+        np.asarray(out1.fitness), np.asarray(ref.fitness)
+    )
+    # and a watchdog mispredict (hint says track, fitness collapsed) must
+    # discard the speculative run and return the init program's result
+    tracker.state = tracker.state._replace(fitness=jnp.asarray(0.0))
+    st = tracker.state
+    assert st.pose_tracked
+    key, sub, prev_t, prev_i, ni = tracker._prep_jit(st)
+    assert bool(ni)
+    ref_i = est.estimate(depth, prev_i, hb, hq, key=sub, mode="init")
+    out2 = tracker.step(depth, hb, hq)
+    assert out2.reinitialized
+    np.testing.assert_array_equal(
+        np.asarray(out2.pose), np.asarray(ref_i.pose)
+    )
+
+
 def test_tracker_checkpoint_roundtrip(tmp_path, setup):
     est = Estimator(setup["obj"], setup["hand"], setup["cfg"])
     t1 = Tracker(est, seed=0)

@@ -51,7 +51,9 @@ def test_particle_sharded_matches_quality(tiny):
         out.pose, jnp.asarray(frame.pose_gt), obj.model_pts
     )
     assert np.isfinite(float(out.fitness))
-    assert float(adds) < 0.02  # 2 cm at this tiny resolution/swarm
+    # measured 4.4 mm at this tiny resolution/swarm (deterministic key);
+    # 8 mm = 2x margin (VERDICT r3 weak #8 called the old 2 cm toothless)
+    assert float(adds) < 0.008, f"ADD-S {float(adds)*1000:.2f}mm"
 
 
 def test_particle_sharding_requires_divisibility(tiny):
