@@ -18,13 +18,20 @@ import time
 import numpy as np
 
 
-def bench_sweep(n_objects: int = 8, particles: int = 128) -> None:
+def bench_sweep(n_objects: int = 8, particles: int = 128,
+                shared: bool = False) -> None:
     """BASELINE config 5: whole model library tracked concurrently as one
     jit program (object axis; single chip here, sharded on a slice).
     Prints one JSON line incl. hyp/s/chip so per-chip efficiency is
     directly comparable to the single-object headline at MATCHED
     particle counts (VERDICT r2 item 4: `--sweep-scale` runs 8x512 and
-    16x128). Run via `python bench.py --sweep`."""
+    16x128). Run via `python bench.py --sweep`.
+
+    `shared=True` benches the shared-scene model-library mode (ONE
+    observed frame, O candidate models): _scene_prep runs once per step
+    instead of O times — the per-object fixed cost the r3 SURVEY flagged
+    as the sweep's remaining gap. Run via `python bench.py
+    --sweep-shared`."""
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
@@ -48,17 +55,25 @@ def bench_sweep(n_objects: int = 8, particles: int = 128) -> None:
     meshes = [meshio.make_test_object(shapes[i % 4]) for i in range(n_objects)]
     hand = make_t42_hand()
     objs = [ObjectModel(m, seed=i) for i, m in enumerate(meshes)]
-    sweep = LibrarySweep(objs, hand, cfg)
+    sweep = LibrarySweep(objs, hand, cfg, shared_scene=shared)
     pose_gt = default_object_pose()
     hb = hand_base_for_grasp(pose_gt)
     hq = np.asarray([0.45, 0.45], np.float32)
-    depths = jnp.stack([
-        jnp.asarray(render_frame_fast(m, pose_gt, hand, hb, hq, cam,
-                                      noise_sigma=0.001))
-        for m in meshes
-    ])
-    hbs = jnp.tile(jnp.asarray(hb)[None], (n_objects, 1, 1))
-    hqs = jnp.tile(jnp.asarray(hq)[None], (n_objects, 1))
+    if shared:
+        # the library scenario: ONE observed frame (object 0 is the true
+        # model), every candidate searches the same scene
+        depths = jnp.asarray(render_frame_fast(
+            meshes[0], pose_gt, hand, hb, hq, cam, noise_sigma=0.001))
+        hbs = jnp.asarray(hb)
+        hqs = jnp.asarray(hq)
+    else:
+        depths = jnp.stack([
+            jnp.asarray(render_frame_fast(m, pose_gt, hand, hb, hq, cam,
+                                          noise_sigma=0.001))
+            for m in meshes
+        ])
+        hbs = jnp.tile(jnp.asarray(hb)[None], (n_objects, 1, 1))
+        hqs = jnp.tile(jnp.asarray(hq)[None], (n_objects, 1))
 
     st = sweep.init_state()
     # warm up BOTH compiled variants: the fresh state makes step 1 run the
@@ -79,7 +94,7 @@ def bench_sweep(n_objects: int = 8, particles: int = 128) -> None:
     value = n_objects / dt
     print(json.dumps({
         "metric": (f"library_sweep_objects_tracked_per_sec_{n_objects}obj"
-                   f"_{particles}p"),
+                   f"_{particles}p" + ("_shared_scene" if shared else "")),
         "value": round(value, 2),
         "unit": "object-frames/sec/chip",
         "vs_baseline": round(value * particles * pso_iters / 1000.0, 3),
@@ -563,6 +578,11 @@ def cli(argv=None) -> None:
         bench_sweep(n_objects=16, particles=128)
     elif "--sweep-init" in argv:
         bench_sweep_init()
+    elif "--sweep-shared" in argv:
+        # model-library mode A/B vs --sweep: same library/particles, one
+        # shared observed frame instead of per-object frames
+        bench_sweep(shared=True)
+        bench_sweep(n_objects=8, particles=512, shared=True)
     elif "--sweep" in argv:
         bench_sweep()
     elif "--init-realistic" in argv:

@@ -227,53 +227,23 @@ class Estimator:
             )
         return hd_full, hd_lo, flat
 
-    def _frame_step(
+    def _scene_prep(
         self,
-        key: jax.Array,
+        k_hand: jax.Array,
+        k_pre: jax.Array,
         depth_m: jax.Array,       # [H,W] meters
-        prev_pose: jax.Array,     # [4,4], or [Hy,4,4] hypothesis priors
-                                  # (row 0 = best; multi-hypothesis
-                                  # tracking splits the swarm among them)
         hand_base: jax.Array,     # [4,4]
         hand_q: jax.Array,        # [J]
-        obj_tensors: tuple,       # (model_pts, model_normals,
-                                  #  render_pts, render_normals, render_w)
-        rot_sigma: jax.Array,     # traced: swarm init spread
-        trans_sigma: jax.Array,
-        uniform_rot: jax.Array,   # traced bool: global-init orientation prior
-        roi_radius: jax.Array,    # traced: workspace crop radius (inf = off)
-        *,
-        n_particles: int,
-        pso_iters: int,
-        resample_after: int = 0,
-        prescreen: int = 0,
-        init_scoring: bool = False,
-    ) -> FrameResult:
+    ) -> tuple:
+        """Object-INDEPENDENT per-frame work: hand masks, fused depth
+        preprocessing, point-level hand removal. Split out of _frame_step
+        so LibrarySweep(shared_scene=True) computes it ONCE per frame and
+        broadcasts it across the vmapped per-object search — the
+        reference's model-library use case is one observed frame scored
+        against many candidate models, so the O-fold replication of this
+        block is pure waste there. Returns (scene, weights, hd_lo, hd_hi)."""
         cfg = self.cfg
         cam = cfg.camera
-        # Global (re-)registration ranks candidates separated by tens of
-        # millimeters under grasp occlusion: there, hand-dropped pixels
-        # must not drag the coverage of the genuinely occluded TRUE pose
-        # (ScoreConfig.neutral_cov_exempt). Tracking keeps the plain
-        # denominator — the exemption forms a gradient toward the hand
-        # region that measurably hurt noisy mm-scale tracking (pinned
-        # accuracy gates).
-        score_cfg = (
-            dataclasses.replace(cfg.score, neutral_cov_exempt=True)
-            if init_scoring else cfg.score
-        )
-        axis_name = self.axis_name if self.mesh is not None else None
-        prev_poses = prev_pose if prev_pose.ndim == 3 else prev_pose[None]
-        n_hyp = prev_poses.shape[0]
-        k_hand, k_pre, k_init, k_pso = jax.random.split(key, 4)
-        if axis_name is not None:
-            # Preprocessing (hand sampling, subsampling) must stay replicated
-            # so per-shard fitness values are comparable and outputs are
-            # bitwise-replicated; only the swarm RNG is shard-unique.
-            idx = jax.lax.axis_index(axis_name)
-            k_init = jax.random.fold_in(k_init, idx)
-            k_pso = jax.random.fold_in(k_pso, idx)
-
         # 1. hand: FK under actuation uncertainty -> masks (SURVEY.md §2 L3).
         if self.hand is not None:
             hd_full, hd_lo, hand_flat = self._hand_tensors(
@@ -306,6 +276,48 @@ class Estimator:
             d2h = knn.pairwise_sqdist(scene.points, hand_flat)
             is_hand = jnp.min(d2h, axis=-1) < cfg.hand.segment_dist**2
             weights = weights * (~is_hand)
+        return scene, weights, hd_lo, hd_hi
+
+    def _search(
+        self,
+        k_init: jax.Array,
+        k_pso: jax.Array,
+        prep: tuple,              # _scene_prep output
+        prev_pose: jax.Array,     # [4,4], or [Hy,4,4] hypothesis priors
+        obj_tensors: tuple,       # (model_pts, model_normals,
+                                  #  render_pts, render_normals, render_w)
+        rot_sigma: jax.Array,
+        trans_sigma: jax.Array,
+        uniform_rot: jax.Array,
+        roi_radius: jax.Array,
+        *,
+        n_particles: int,
+        pso_iters: int,
+        resample_after: int = 0,
+        prescreen: int = 0,
+        init_scoring: bool = False,
+    ) -> FrameResult:
+        """Per-OBJECT swarm search over a prepared scene: ROI crop, swarm
+        init (+orientation prescreen), the PSO+ICP+render-and-compare
+        loop, and hypothesis extraction. The vmapped axis of
+        LibrarySweep(shared_scene=True)."""
+        cfg = self.cfg
+        cam = cfg.camera
+        scene, weights, hd_lo, hd_hi = prep
+        # Global (re-)registration ranks candidates separated by tens of
+        # millimeters under grasp occlusion: there, hand-dropped pixels
+        # must not drag the coverage of the genuinely occluded TRUE pose
+        # (ScoreConfig.neutral_cov_exempt). Tracking keeps the plain
+        # denominator — the exemption forms a gradient toward the hand
+        # region that measurably hurt noisy mm-scale tracking (pinned
+        # accuracy gates).
+        score_cfg = (
+            dataclasses.replace(cfg.score, neutral_cov_exempt=True)
+            if init_scoring else cfg.score
+        )
+        axis_name = self.axis_name if self.mesh is not None else None
+        prev_poses = prev_pose if prev_pose.ndim == 3 else prev_pose[None]
+        n_hyp = prev_poses.shape[0]
         # workspace crop around the track (reference crops to a hand-centric
         # region of interest before ICP). If the crop would leave (nearly)
         # nothing — the prior has drifted clear of the observation — fall
@@ -515,6 +527,49 @@ class Estimator:
             n_scene=jnp.sum(weights),
             hyp_poses=hyp_poses,
             hyp_fitness=hyp_fitness,
+        )
+
+    def _frame_step(
+        self,
+        key: jax.Array,
+        depth_m: jax.Array,       # [H,W] meters
+        prev_pose: jax.Array,     # [4,4], or [Hy,4,4] hypothesis priors
+                                  # (row 0 = best; multi-hypothesis
+                                  # tracking splits the swarm among them)
+        hand_base: jax.Array,     # [4,4]
+        hand_q: jax.Array,        # [J]
+        obj_tensors: tuple,       # (model_pts, model_normals,
+                                  #  render_pts, render_normals, render_w)
+        rot_sigma: jax.Array,     # traced: swarm init spread
+        trans_sigma: jax.Array,
+        uniform_rot: jax.Array,   # traced bool: global-init orientation prior
+        roi_radius: jax.Array,    # traced: workspace crop radius (inf = off)
+        *,
+        n_particles: int,
+        pso_iters: int,
+        resample_after: int = 0,
+        prescreen: int = 0,
+        init_scoring: bool = False,
+    ) -> FrameResult:
+        """One full frame: scene prep + per-object search (the two halves
+        are split so the sweep's shared-scene mode can reuse the prep; the
+        key-split order here is load-bearing for bitwise reproducibility
+        of pinned tests)."""
+        k_hand, k_pre, k_init, k_pso = jax.random.split(key, 4)
+        if self.mesh is not None:
+            # Preprocessing (hand sampling, subsampling) must stay replicated
+            # so per-shard fitness values are comparable and outputs are
+            # bitwise-replicated; only the swarm RNG is shard-unique.
+            idx = jax.lax.axis_index(self.axis_name)
+            k_init = jax.random.fold_in(k_init, idx)
+            k_pso = jax.random.fold_in(k_pso, idx)
+        prep = self._scene_prep(k_hand, k_pre, depth_m, hand_base, hand_q)
+        return self._search(
+            k_init, k_pso, prep, prev_pose, obj_tensors,
+            rot_sigma, trans_sigma, uniform_rot, roi_radius,
+            n_particles=n_particles, pso_iters=pso_iters,
+            resample_after=resample_after, prescreen=prescreen,
+            init_scoring=init_scoring,
         )
 
     # -- public API ----------------------------------------------------------

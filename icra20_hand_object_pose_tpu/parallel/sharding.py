@@ -99,6 +99,7 @@ class LibrarySweep:
         axis_name: str = "obj",
         particle_axis: str | None = None,
         nn_fn=None,
+        shared_scene: bool = False,
     ):
         """With a 2-D mesh and `particle_axis` set (e.g.
         Mesh(devices.reshape(4, 2), ("obj", "p")), particle_axis="p"), the
@@ -106,9 +107,25 @@ class LibrarySweep:
         additionally sharded over the particle axis, with the per-
         iteration global-best agreement as an all_gather over "p" within
         each object's device column — objects over one ICI dimension,
-        particles over the other."""
+        particles over the other.
+
+        `shared_scene=True` is the model-LIBRARY mode (the reference's
+        primary multi-model use: ONE observed frame, O candidate models —
+        which object is in the hand, and where?): step() then takes an
+        unbatched depth [H,W] / hand_base [4,4] / hand_q [J], the
+        object-independent frame work (hand masks, fused preprocessing,
+        hand removal — Estimator._scene_prep) runs ONCE and is broadcast
+        into the vmapped per-object search instead of being replicated
+        O times. Object 0's result is bitwise identical to the per-scene
+        path fed O copies of the frame (same key-split order); the others
+        differ only in which scene subsample they see."""
         if not objects:
             raise ValueError("need at least one object")
+        if shared_scene and particle_axis is not None:
+            raise ValueError(
+                "shared_scene composes with the 1-D object mesh only; "
+                "drop particle_axis or use the per-scene mode"
+            )
         shapes = {
             (o.model_pts.shape, o.render_pts.shape) for o in objects
         }
@@ -123,6 +140,7 @@ class LibrarySweep:
         self.mesh = mesh
         self.axis_name = axis_name
         self.particle_axis = particle_axis
+        self.shared_scene = shared_scene
         n_p = 1
         if particle_axis is not None:
             if mesh is None or particle_axis not in mesh.axis_names:
@@ -167,13 +185,17 @@ class LibrarySweep:
         )
         kwargs = {}
         if obj_sharding is not None:
+            # shared-scene mode: the frame inputs (depth, hand) are
+            # unbatched and REPLICATED over the mesh; prep runs once per
+            # device on its replica, the search partitions over objects.
+            rep = NamedSharding(mesh, P())
             kwargs = dict(
                 in_shardings=(
                     obj_sharding,  # keys
-                    obj_sharding,  # depths
+                    rep if shared_scene else obj_sharding,  # depth(s)
                     obj_sharding,  # prev poses
-                    obj_sharding,  # hand bases
-                    obj_sharding,  # hand qs
+                    rep if shared_scene else obj_sharding,  # hand base(s)
+                    rep if shared_scene else obj_sharding,  # hand q(s)
                     (obj_sharding,) * 5,  # object tensors
                     obj_sharding,  # rot_sigma [O]
                     obj_sharding,  # trans_sigma [O]
@@ -234,7 +256,8 @@ class LibrarySweep:
         else:
             # pjit with in_shardings forbids kwargs: statics go positional
             self._sweep_jit = jax.jit(
-                self._sweep_step, static_argnums=statics, **kwargs
+                self._sweep_step_shared if shared_scene else self._sweep_step,
+                static_argnums=statics, **kwargs,
             )
         # step()'s glue (RNG splits, prior construction, merge + state
         # update) is jitted: run eagerly it was ~20 small device dispatches
@@ -270,6 +293,31 @@ class LibrarySweep:
         )
         return jax.vmap(fn)(
             keys, depths, prev_poses, hand_bases, hand_qs, obj_tensors,
+            rot_sigma, trans_sigma, uniform_rot, roi_radius,
+        )
+
+    def _sweep_step_shared(
+        self, keys, depth, prev_poses, hand_base, hand_q, obj_tensors,
+        rot_sigma, trans_sigma, uniform_rot, roi_radius,
+        n_particles: int, pso_iters: int,
+        resample_after: int, prescreen: int, init_scoring: bool,
+    ) -> FrameResult:
+        """Shared-scene sweep program: ONE _scene_prep over the single
+        observed frame, then the per-object search vmapped over the
+        (mesh-sharded) object axis with the prep broadcast. Key-split
+        order matches _frame_step exactly, so object 0 reproduces the
+        per-scene path bitwise (pinned in tests/test_sharding.py)."""
+        sub = jax.vmap(partial(jax.random.split, num=4))(keys)  # [O,4]
+        prep = self._est._scene_prep(
+            sub[0, 0], sub[0, 1], depth, hand_base, hand_q
+        )
+        fn = partial(
+            self._est._search, n_particles=n_particles,
+            pso_iters=pso_iters, resample_after=resample_after,
+            prescreen=prescreen, init_scoring=init_scoring,
+        )
+        return jax.vmap(fn, in_axes=(0, 0, None, 0, 0, 0, 0, 0, 0))(
+            sub[:, 2], sub[:, 3], prep, prev_poses, obj_tensors,
             rot_sigma, trans_sigma, uniform_rot, roi_radius,
         )
 
@@ -435,17 +483,32 @@ class LibrarySweep:
     def step(
         self,
         state: SweepState,
-        depths: jax.Array,      # [O,H,W] meters
-        hand_bases: jax.Array | None = None,  # [O,4,4]
-        hand_qs: jax.Array | None = None,     # [O,J]
+        depths: jax.Array,      # [O,H,W] meters; shared_scene: [H,W]
+        hand_bases: jax.Array | None = None,  # [O,4,4]; shared: [4,4]
+        hand_qs: jax.Array | None = None,     # [O,J]; shared: [J]
     ) -> tuple[SweepState, SweepResult]:
         """One frame for every object in the library."""
         O = self.n_objects
-        if hand_bases is None:
-            hand_bases = jnp.tile(jnp.eye(4)[None], (O, 1, 1))
-        if hand_qs is None:
-            J = self._est.hand.n_joints if self._est.hand is not None else 1
-            hand_qs = jnp.zeros((O, J))
+        J = self._est.hand.n_joints if self._est.hand is not None else 1
+        if self.shared_scene:
+            if depths.ndim != 2:
+                raise ValueError(
+                    f"shared_scene takes ONE frame [H,W], got {depths.shape}"
+                )
+            if hand_bases is None:
+                hand_bases = jnp.eye(4)
+            if hand_qs is None:
+                hand_qs = jnp.zeros((J,))
+        else:
+            if depths.ndim != 3 or depths.shape[0] != O:
+                raise ValueError(
+                    f"per-scene sweep takes [O,H,W] depths (O={O}), got "
+                    f"{depths.shape}; use shared_scene=True for one frame"
+                )
+            if hand_bases is None:
+                hand_bases = jnp.tile(jnp.eye(4)[None], (O, 1, 1))
+            if hand_qs is None:
+                hand_qs = jnp.zeros((O, J))
         key, keys_track, keys_init, prev_t, prev_i, need_init = (
             self._prep_jit(state)
         )

@@ -315,6 +315,89 @@ def test_sweep_motion_prior(tiny):
     assert err < 0.03
 
 
+def test_sweep_shared_scene_object0_bitwise(tiny):
+    """shared_scene=True (model-library mode: ONE frame, O candidate
+    models) computes _scene_prep once and broadcasts it. Object 0's key
+    derivation matches the per-scene path exactly, so its init result is
+    bitwise identical to the per-scene sweep fed O copies of the frame;
+    the step() API then runs with unbatched inputs and the watchdog
+    merges mixed frames as in the per-scene mode."""
+    cfg, obj, hand, frame = tiny
+    objs = [
+        ObjectModel(meshio.make_test_object(s), model_points=256,
+                    render_points=512, seed=i)
+        for i, s in enumerate(["box", "cylinder"])
+    ]
+    per = LibrarySweep(objs, hand, cfg)
+    sh = LibrarySweep(objs, hand, cfg, shared_scene=True)
+    depth = jnp.asarray(frame.depth)
+    hb = jnp.asarray(frame.hand_base)
+    hq = jnp.asarray(frame.hand_q)
+    keys = jax.random.split(jax.random.key(5), 2)
+    prev = jnp.tile(jnp.eye(4)[None], (2, 1, 1))
+    out_per = per._run(
+        keys, jnp.tile(depth[None], (2, 1, 1)), prev,
+        jnp.tile(hb[None], (2, 1, 1)), jnp.tile(hq[None], (2, 1)), "init",
+    )
+    out_sh = sh._run(keys, depth, prev, hb, hq, "init")
+    assert float(jnp.abs(out_sh.pose[0] - out_per.pose[0]).max()) == 0.0
+    assert float(out_sh.fitness[0]) == float(out_per.fitness[0])
+    # full public step() with unbatched inputs
+    st, res = sh.step(sh.init_state(), depth, hb, hq)
+    assert res.poses.shape == (2, 4, 4)
+    assert bool(jnp.all(res.reinitialized))
+    # mixed frame: fitness collapse on object 1 only
+    st1 = st._replace(fitness=st.fitness.at[1].set(0.0))
+    _, res2 = sh.step(st1, depth, hb, hq)
+    assert list(np.asarray(res2.reinitialized)) == [False, True]
+
+
+def test_sweep_shared_scene_sharded(tiny):
+    """Shared-scene library over the 8-device mesh: replicated frame,
+    object-sharded search. The candidates matching the observed object
+    (box) must land on it; a wrong-shape candidate cannot out-fit the
+    true model's pose quality."""
+    cfg, obj, hand, frame = tiny
+    shapes = ["box", "cylinder", "sphere", "ellipsoid"] * 2
+    objs = [
+        ObjectModel(meshio.make_test_object(s), model_points=256,
+                    render_points=512, seed=i)
+        for i, s in enumerate(shapes)
+    ]
+    sweep = LibrarySweep(objs, hand, cfg, mesh=make_mesh(8, "obj"),
+                         axis_name="obj", shared_scene=True)
+    depth = jnp.asarray(frame.depth)
+    hb = jnp.asarray(frame.hand_base)
+    hq = jnp.asarray(frame.hand_q)
+    st, res = sweep.step(sweep.init_state(), depth, hb, hq)
+    st, res = sweep.step(st, depth, hb, hq)
+    assert res.poses.shape == (8, 4, 4)
+    assert bool(jnp.all(jnp.isfinite(res.fitness)))
+    for i in (0, 4):  # the true-shape candidates
+        err = float(se3.add_s_error(res.poses[i], jnp.asarray(frame.pose_gt),
+                                    objs[i].model_pts))
+        assert err < 0.03, f"box candidate {i}: {err*1000:.1f}mm"
+
+
+def test_shared_scene_validation(tiny):
+    cfg, obj, hand, frame = tiny
+    import numpy as np2
+    from jax.sharding import Mesh
+
+    mesh2d = Mesh(np2.asarray(jax.devices()).reshape(4, 2), ("obj", "p"))
+    objs = [ObjectModel(meshio.make_test_object("box"), model_points=256,
+                        render_points=512, seed=i) for i in range(4)]
+    with pytest.raises(ValueError, match="shared_scene"):
+        LibrarySweep(objs, hand, cfg, mesh=mesh2d, axis_name="obj",
+                     particle_axis="p", shared_scene=True)
+    sh = LibrarySweep([obj], hand, cfg, shared_scene=True)
+    with pytest.raises(ValueError, match="ONE frame"):
+        sh.step(sh.init_state(), jnp.zeros((1, 48, 64)))
+    per = LibrarySweep([obj], hand, cfg)
+    with pytest.raises(ValueError, match="per-scene"):
+        per.step(per.init_state(), jnp.zeros((48, 64)))
+
+
 def test_library_sweep_2d_validation(tiny):
     cfg, obj, hand, frame = tiny
     import numpy as np2
