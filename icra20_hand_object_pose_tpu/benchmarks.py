@@ -160,18 +160,20 @@ def bench_init(
     hq = np.asarray([0.45, 0.45], np.float32)
 
     def calib(hb, cal_rng):
-        """(reported hand base, true joint q) for one trial."""
+        """(reported hand base, true joint q, calibration err) for one
+        trial; reported = err @ true_base (camera-extrinsic convention,
+        matching datasets.generate_sequence)."""
         if not realistic:
-            return hb, hq
+            return hb, hq, np.eye(4, dtype=np.float32)
         w = cal_rng.normal(size=3)
         w = w / np.linalg.norm(w) * np.radians(3.0)
         v = cal_rng.normal(size=3)
         v = v / np.linalg.norm(v) * 5e-3
         err = np.asarray(se3.se3_exp(
             jnp.asarray(np.concatenate([w, v]), jnp.float32)
-        ))
+        )).astype(np.float32)
         q_true = hq + cal_rng.choice([-0.15, 0.15])
-        return (err @ hb).astype(np.float32), q_true.astype(np.float32)
+        return (err @ hb).astype(np.float32), q_true.astype(np.float32), err
 
     per_shape = {}
     worst = 1.0
@@ -195,7 +197,7 @@ def bench_init(
             ]
             hb = hand_base_for_grasp(pose_gt)
             cal_rng = np.random.default_rng(seed * 7000 + t)
-            hb_rep, q_true = calib(hb, cal_rng)
+            hb_rep, q_true, cal_err = calib(hb, cal_rng)
             depth = render_frame_fast(
                 mesh, pose_gt, hand, hb, q_true, cam, noise_sigma=0.001,
                 rng=np.random.default_rng(seed * 1000 + t), sensor=sensor,
@@ -216,8 +218,10 @@ def bench_init(
                 jax.random.fold_in(keys[t], 2), jnp.asarray(pose_gt),
                 0.035, 0.002)).astype(np.float32)
             hb1 = (pose1 @ np.linalg.inv(pose_gt) @ hb).astype(np.float32)
-            hb1_rep = ((pose1 @ np.linalg.inv(pose_gt) @ hb_rep)
-                       .astype(np.float32))
+            # reported base keeps the camera-extrinsic error LEFT-multiplied
+            # on the moved true base (reported = err @ true), matching
+            # generate_sequence's convention.
+            hb1_rep = (cal_err @ hb1).astype(np.float32)
             depth1 = render_frame_fast(
                 mesh, pose1, hand, hb1, q_true, cam, noise_sigma=0.001,
                 rng=np.random.default_rng(seed * 1000 + t + 500_000),

@@ -215,6 +215,26 @@ def icp_batched(
     apply_twists = jax.vmap(se3.apply_twist_about, in_axes=(0, 0, None))
 
     if gn_fn is not None:
+        if gn_reps != 1:
+            raise ValueError(
+                "gn_fn path runs exactly one linearization per search; "
+                f"gn_reps={gn_reps} is not supported (re-linearizing needs "
+                "the matched points the fused kernel does not emit)."
+            )
+        # make_gn_fn exposes its baked gate constants; if present, assert
+        # they agree with the arguments (which are otherwise ignored here).
+        baked = (getattr(gn_fn, "maxd2", None), getattr(gn_fn, "min_cos", None),
+                 getattr(gn_fn, "tau2", None))
+        if baked[0] is not None:
+            want = (max_corresp_dist**2, min_cos, support_tau**2)
+            for name, b, w in zip(("maxd2", "min_cos", "tau2"), baked, want):
+                if abs(b - w) > 1e-9 * max(1.0, abs(w)):
+                    raise ValueError(
+                        f"gn_fn was built with {name}={b} but icp_batched "
+                        f"was called with a value implying {name}={w}; "
+                        "construct make_gn_fn with matching gates."
+                    )
+
         def body_fused(carry, _):
             poses, frozen = carry
             posed_c = se3.transform_points(poses, model_pts) - anchor

@@ -427,9 +427,11 @@ def nn_gn_batched(
     """Fused NN search + correspondence gating + GN normal equations.
 
     Returns (H [P,6,6], g [P,6], wsum [P], support_hits [P], wrr [P]).
-    Exact-f32 equivalent of: kernel-NN + take matched + icp.
-    correspondence_weights + icp.solve_gn_step's H/g build (validated
-    against that path in tests/test_knn_pallas.py). The [P,Ns,3]
+    Near-exact f32 equivalent of: kernel-NN + take matched + icp.
+    correspondence_weights + icp.solve_gn_step's H/g build — the in-kernel
+    gather uses the double-bf16 hi+lo split (~2^-16 relative error;
+    on-chip rel err <= 5e-5 vs the XLA oracle, validated in
+    tests/test_knn_pallas.py). The [P,Ns,3]
     matched streams never reach HBM.
     """
     Ns = scene_c.shape[0]
@@ -522,6 +524,13 @@ def make_gn_fn(
             interpret=interpret,
         )
 
+    # Baked gate constants, exposed so icp_batched can assert its own
+    # max_corresp_dist / normal_angle_max_deg / support_tau arguments agree
+    # with what the kernel was constructed with (they are otherwise silently
+    # ignored on the fused path).
+    gn_fn.maxd2 = float(maxd2)
+    gn_fn.min_cos = float(min_cos)
+    gn_fn.tau2 = float(tau2)
     return gn_fn
 
 

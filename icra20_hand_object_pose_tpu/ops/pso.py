@@ -267,7 +267,9 @@ def pso(
             normal_angle_max_deg=icp_cfg.normal_angle_max_deg,
             damping=icp_cfg.damping,
             step_scale=icp_cfg.step_scale,
-            gn_reps=icp_cfg.gn_reps,
+            # the fused kernel runs exactly one linearization per search
+            # (icp_batched raises on gn_reps != 1 with gn_fn)
+            gn_reps=1 if gn_fn is not None else icp_cfg.gn_reps,
             nn_fn=nn_fn, corr_fn=corr_fn, gn_fn=gn_fn,
             support_tau=cov_tau if use_cov else 0.0,
         )

@@ -197,7 +197,7 @@ def test_icp_with_gn_fn():
     )
     refined, stats = icp.icp_batched(
         poses0, scene, snrm, w, mpts, mnrm,
-        iters=10, max_corresp_dist=0.05, gn_fn=gn)
+        iters=10, max_corresp_dist=0.05, support_tau=0.03, gn_fn=gn)
     errs = jax.vmap(lambda T: se3.add_error(T, T_gt, mpts))(refined)
     assert float(jnp.max(errs)) < 0.002, np.asarray(errs)
     assert float(jnp.min(stats.support)) > 0.9   # converged: explained
