@@ -49,6 +49,17 @@ class FrameResult(NamedTuple):
     n_scene: jax.Array        # scalar, surviving scene points
     hyp_poses: jax.Array      # [H,4,4] competing-basin hypotheses (0 = best)
     hyp_fitness: jax.Array    # [H] (-inf = slot without a distinct basin)
+    hand_delta: jax.Array | None = None  # [4,4] auto-armed hand-base
+                              # correction (meaningful from the init
+                              # program only; exact identity when the
+                              # margin-accept rejects or on track/no-hand
+                              # programs — constant pytree structure
+                              # keeps one sweep out_shardings spec valid
+                              # for both programs). A mount extrinsic
+                              # error is constant over a sequence, so the
+                              # Tracker composes this into TrackerState.
+                              # hand_delta and pre-multiplies every later
+                              # reported base.
 
 
 class Estimator:
@@ -147,7 +158,8 @@ class Estimator:
 
     # -- traced frame program ------------------------------------------------
 
-    def _hand_tensors(self, key, hand_base, hand_q, depth_m):
+    def _hand_tensors(self, key, hand_base, hand_q, depth_m,
+                      init_scoring: bool = False):
         """Sampled hand clouds -> (full-res drop mask, low-res occluder depth,
         flat hand cloud for point-level segmentation).
 
@@ -164,7 +176,13 @@ class Estimator:
         cfg = self.cfg
         cam = cfg.camera
         n_sel = cfg.hand.config_select
-        need_lo = cfg.hand.base_refine_iters > 0 or (
+        auto_refine = (
+            init_scoring
+            and cfg.hand.base_refine_iters == 0
+            and cfg.hand.base_refine_auto
+        )
+        hand_delta = None  # set only by the auto-arm path below
+        need_lo = cfg.hand.base_refine_iters > 0 or auto_refine or (
             0 < n_sel < cfg.hand.config_samples
         )
         if need_lo:
@@ -178,22 +196,71 @@ class Estimator:
                 d_lo_h, v_lo_h = preprocess.downsample_depth(
                     depth_m, dvalid, self.render_factor
                 )
-        if cfg.hand.base_refine_iters > 0:
+        if cfg.hand.base_refine_iters > 0 or auto_refine:
             # hand-mount calibration correction: fit the reported base to
             # the observed depth before ANY mask is built — the sampled
             # joint configs below all inherit the base, so a wrong base
             # corrupts every mask identically (models/hand.refine_base)
             key, k_base = jax.random.split(key)
-            hand_base = self.hand.refine_base(
-                k_base, d_lo_h, v_lo_h, hand_base, hand_q,
-                fx=self.lo_fx, fy=self.lo_fy, cx=self.lo_cx, cy=self.lo_cy,
-                height=self.lo_h, width=self.lo_w,
-                iters=cfg.hand.base_refine_iters,
-                candidates=cfg.hand.base_refine_candidates,
-                rot_sigma=cfg.hand.base_refine_rot_sigma,
-                trans_sigma=cfg.hand.base_refine_trans_sigma,
-                q_sigma=cfg.hand.joint_sigma,
-            )
+
+            def _refine(hb):
+                return self.hand.refine_base(
+                    k_base, d_lo_h, v_lo_h, hb, hand_q,
+                    fx=self.lo_fx, fy=self.lo_fy,
+                    cx=self.lo_cx, cy=self.lo_cy,
+                    height=self.lo_h, width=self.lo_w,
+                    iters=cfg.hand.base_refine_iters or 3,
+                    candidates=cfg.hand.base_refine_candidates,
+                    rot_sigma=cfg.hand.base_refine_rot_sigma,
+                    trans_sigma=cfg.hand.base_refine_trans_sigma,
+                    q_sigma=cfg.hand.joint_sigma,
+                )
+
+            if auto_refine:
+                # AUTO-ARM (VERDICT r4 item 5), init program only: run
+                # the search, but ACCEPT its winner only when the
+                # winner's observed-depth agreement beats the reported
+                # base's by base_refine_accept_margin. An absolute
+                # agreement threshold cannot tell the regimes apart
+                # (measured r5: calibrated scores -0.05..0.25 overlap
+                # miscalibrated -0.20..0.24 — the level is scene-
+                # dominated), but the GAIN can: an exactly-calibrated
+                # base only ever gains the score-space splat-floor
+                # overfit (<= +0.059 over 6 draws) while a genuinely
+                # miscalibrated one gains +0.084..+0.273 — see
+                # HandConfig.base_refine_auto and
+                # scripts/calibrate_base_agree.py.
+                def _agree(hb):
+                    return self.hand.config_agreement(
+                        self.hand.cloud(hb, hand_q)[None],
+                        d_lo_h, v_lo_h,
+                        fx=self.lo_fx, fy=self.lo_fy,
+                        cx=self.lo_cx, cy=self.lo_cy,
+                        height=self.lo_h, width=self.lo_w,
+                    )[0]
+
+                refined = _refine(hand_base)
+                gain = _agree(refined) - _agree(hand_base)
+                accept = gain > cfg.hand.base_refine_accept_margin
+                # delta = accepted correction RELATIVE to the base this
+                # program was fed. A mount-calibration error is CONSTANT
+                # over a sequence, so the Tracker carries this delta and
+                # pre-multiplies every subsequent reported base with it —
+                # tracked frames get corrected masks WITHOUT re-running
+                # the search (the r5 realistic_heavy failure mode: a
+                # default-config tracker fed a 3 deg/5 mm-off base locked
+                # a 66 mm basin because only the init program refined).
+                # Exact identity when rejected (not refined @ inv(base):
+                # float round-off would otherwise compound in the
+                # Tracker's composition across re-inits).
+                hand_delta = jnp.where(
+                    accept,
+                    se3.compose(refined, se3.inverse(hand_base)),
+                    jnp.eye(4, dtype=hand_base.dtype),
+                )
+                hand_base = jnp.where(accept, refined, hand_base)
+            else:
+                hand_base = _refine(hand_base)
         clouds = self.hand.sampled_clouds(
             key, hand_base, hand_q, cfg.hand.joint_sigma, cfg.hand.config_samples
         )                                             # [K,Nh,3]
@@ -225,7 +292,7 @@ class Estimator:
                 cx=self.lo_cx, cy=self.lo_cy,
                 height=self.lo_h, width=self.lo_w, radius=1,
             )
-        return hd_full, hd_lo, flat
+        return hd_full, hd_lo, flat, hand_delta
 
     def _scene_prep(
         self,
@@ -234,6 +301,7 @@ class Estimator:
         depth_m: jax.Array,       # [H,W] meters
         hand_base: jax.Array,     # [4,4]
         hand_q: jax.Array,        # [J]
+        init_scoring: bool = False,
     ) -> tuple:
         """Object-INDEPENDENT per-frame work: hand masks, fused depth
         preprocessing, point-level hand removal. Split out of _frame_step
@@ -241,13 +309,17 @@ class Estimator:
         broadcasts it across the vmapped per-object search — the
         reference's model-library use case is one observed frame scored
         against many candidate models, so the O-fold replication of this
-        block is pure waste there. Returns (scene, weights, hd_lo, hd_hi)."""
+        block is pure waste there. Returns (scene, weights, hd_lo, hd_hi,
+        hand_delta) — hand_delta is the auto-armed base correction
+        ([4,4], None outside the auto-refine init path) the Tracker
+        carries forward across the sequence."""
         cfg = self.cfg
         cam = cfg.camera
+        hand_delta = None
         # 1. hand: FK under actuation uncertainty -> masks (SURVEY.md §2 L3).
         if self.hand is not None:
-            hd_full, hd_lo, hand_flat = self._hand_tensors(
-                k_hand, hand_base, hand_q, depth_m
+            hd_full, hd_lo, hand_flat, hand_delta = self._hand_tensors(
+                k_hand, hand_base, hand_q, depth_m, init_scoring
             )
             seg = cfg.hand.segment_dist
             # drop pixels on or behind the rendered hand
@@ -276,7 +348,7 @@ class Estimator:
             d2h = knn.pairwise_sqdist(scene.points, hand_flat)
             is_hand = jnp.min(d2h, axis=-1) < cfg.hand.segment_dist**2
             weights = weights * (~is_hand)
-        return scene, weights, hd_lo, hd_hi
+        return scene, weights, hd_lo, hd_hi, hand_delta
 
     def _search(
         self,
@@ -303,7 +375,7 @@ class Estimator:
         LibrarySweep(shared_scene=True)."""
         cfg = self.cfg
         cam = cfg.camera
-        scene, weights, hd_lo, hd_hi = prep
+        scene, weights, hd_lo, hd_hi, hand_delta = prep
         # Global (re-)registration ranks candidates separated by tens of
         # millimeters under grasp occlusion: there, hand-dropped pixels
         # must not drag the coverage of the genuinely occluded TRUE pose
@@ -352,6 +424,98 @@ class Estimator:
         # super_fibonacci_rotations)
         model_pts, model_normals, render_pts, render_normals, render_w = obj_tensors
         kr = min(cfg.pso.scan_render_subset, render_pts.shape[0])
+
+        # Second-order visibility (ScoreConfig.self_occlusion, VERDICT r4
+        # item 2): back-face culling misses front-facing samples hidden
+        # behind another part of the same object (concave geometry). Each
+        # render sample's visibility is decided ONCE per frame — splat a
+        # pose set, z-test each sample against the splat at its own
+        # projection — and the resulting [Nr] mask rides through every
+        # scoring tier. The mask is CANDIDATE-INDEPENDENT by design:
+        # re-testing visibility per candidate against an incumbent map
+        # injects candidate-dependent selection noise that measurably
+        # DEGRADES fine-sigma rank-vs-error (A/B r5: tee 0.80 -> 0.68
+        # per-pixel vs 0.80 -> 0.90 per-sample), while a frame-constant
+        # sample subset is rank-neutral — the same argument that
+        # justifies the finisher patch tables.
+        #
+        # The pose set is the SEARCH REGION, not just the incumbent:
+        # each hypothesis prior plus self_occ_union draws at the swarm's
+        # own (rot_sigma, trans_sigma) spread, visibility = union. A
+        # mask frozen at the stale incumbent culls samples that ROTATE
+        # INTO VIEW under fast unpredicted motion — biasing every tier
+        # against exactly the moved true pose (measured r5, random-twist
+        # occlusion protocol on the convex box, theta 30/50: 5.5/6.7 mm
+        # tracked mean with the incumbent-only mask vs 1.6/1.7 with the
+        # mask off; p90 tails 18-24 mm). Union over the region keeps any
+        # sample visible SOMEWHERE the swarm will actually search, so
+        # only true interior self-occlusion (mug cavity, bracket web —
+        # hidden under every nearby pose) is culled. Track program only:
+        # init candidates span SO(3), where any prior mask would be
+        # wrong by construction.
+        render_vis = None
+        if (not init_scoring) and cfg.score.self_occlusion:
+            n_hyp_m = prev_poses.shape[0]
+            n_draw = cfg.score.self_occ_union
+            k_mask = jax.random.fold_in(k_init, 7)
+            region = se3.perturb_pose(
+                k_mask,
+                jnp.tile(prev_poses, (n_draw, 1, 1)),
+                rot_sigma, trans_sigma, shape=(n_draw * n_hyp_m,),
+            )
+            mask_poses = jnp.concatenate([prev_poses, region], axis=0)
+            inc_pts = se3.transform_points(mask_poses, render_pts)  # [M,Nr,3]
+            inc_nrm = se3.rotate_vectors(mask_poses, render_normals)
+            d_inc = render.splat_depth_batched(
+                inc_pts, render_w,
+                fx=self.lo_fx, fy=self.lo_fy, cx=self.lo_cx, cy=self.lo_cy,
+                height=self.lo_h, width=self.lo_w, radius=1,
+            )                                                       # [M,h,w]
+            z = inc_pts[..., 2]
+            zs = jnp.where(z > 1e-6, z, 1.0)
+            ui = jnp.clip(jnp.round(
+                inc_pts[..., 0] / zs * self.lo_fx + self.lo_cx
+            ).astype(jnp.int32), 0, self.lo_w - 1)
+            vi = jnp.clip(jnp.round(
+                inc_pts[..., 1] / zs * self.lo_fy + self.lo_cy
+            ).astype(jnp.int32), 0, self.lo_h - 1)
+            d_at = jnp.take_along_axis(
+                d_inc.reshape(d_inc.shape[0], -1),
+                vi * self.lo_w + ui, axis=-1,
+            )                                                       # [M,Nr]
+            # Slope-scaled margin (the shadow-acne fix): the splat's min
+            # over a (2r+1)^2 footprint reads the surface up to
+            # (r+0.5) px closer laterally, which on a surface at angle
+            # theta to the view ray is (r+0.5) * z/f_lo * tan(theta)
+            # CLOSER in depth — at the lo grid's ~3.5 mm/px a fixed 8 mm
+            # margin wrongly culled every steep box face (verify drive
+            # 7 mm -> 60 mm before this term). tan is clamped: near-
+            # grazing samples carry little depth evidence either way.
+            ray = inc_pts / jnp.maximum(
+                jnp.linalg.norm(inc_pts, axis=-1, keepdims=True), 1e-9)
+            cosv = jnp.clip(-jnp.sum(inc_nrm * ray, axis=-1), 1e-3, 1.0)
+            tanv = jnp.sqrt(1.0 - cosv**2) / cosv
+            margin = cfg.score.self_occ_margin + (
+                1.5 * (z / self.lo_fx) * jnp.minimum(tanv, 4.0)
+            )
+            # visible under ANY pose in the search region keeps the
+            # sample (the splat includes the sample itself, so
+            # d_at <= z always; hidden means another surface sits
+            # > margin in front at EVERY region pose). NEAR-GRAZING
+            # samples are exempt from culling outright: past the margin
+            # clamp the splat's own-face footprint spread exceeds any
+            # affordable margin, so the z-test is unreliable exactly
+            # there — and culling them is what opened the box's lateral
+            # slide mode (theta=50 grasp, r5: edge-on side faces culled
+            # at every region pose + one silhouette side behind the
+            # hand left the flat front face translation-invariant;
+            # 6.6 mm tracked mean / 24 mm p90 vs 1.7 with the mask
+            # off). True interior self-occlusion (mug cavity, bracket
+            # web) is well-facing and keeps its cull.
+            vis_any = jnp.any(d_at >= z - margin, axis=0)           # [Nr]
+            grazing = jnp.any(
+                tanv > cfg.score.self_occ_tan_max, axis=0)
+            render_vis = vis_any | grazing
 
         def aligned_candidates(k_noise, rotations):
             """Candidate poses from orientations: per-orientation
@@ -505,6 +669,7 @@ class Estimator:
             pso_cfg=pso_cfg, icp_cfg=cfg.icp, score_cfg=score_cfg,
             nn_fn=self.nn_fn, corr_fn=self.corr_fn, gn_fn=self.gn_fn,
             axis_name=axis_name,
+            render_vis=render_vis,
             explorer_seeds=explorer_seeds,
             observed_neutral=scene.neutral,
             observed_hi=(
@@ -527,6 +692,11 @@ class Estimator:
             n_scene=jnp.sum(weights),
             hyp_poses=hyp_poses,
             hyp_fitness=hyp_fitness,
+            # identity (not None) outside the auto-refine init path: a
+            # constant pytree structure keeps one out_shardings spec
+            # valid for BOTH compiled sweep programs (track + init)
+            hand_delta=(jnp.eye(4, dtype=result.best_pose.dtype)
+                        if hand_delta is None else hand_delta),
         )
 
     def _frame_step(
@@ -563,7 +733,9 @@ class Estimator:
             idx = jax.lax.axis_index(self.axis_name)
             k_init = jax.random.fold_in(k_init, idx)
             k_pso = jax.random.fold_in(k_pso, idx)
-        prep = self._scene_prep(k_hand, k_pre, depth_m, hand_base, hand_q)
+        prep = self._scene_prep(
+            k_hand, k_pre, depth_m, hand_base, hand_q, init_scoring
+        )
         return self._search(
             k_init, k_pso, prep, prev_pose, obj_tensors,
             rot_sigma, trans_sigma, uniform_rot, roi_radius,
@@ -716,6 +888,14 @@ class TrackerState(NamedTuple):
                                          # a delta based on an init pose
                                          # would fold the init's residual
                                          # into the velocity estimate
+    hand_delta: jax.Array | None = None  # [4,4] accumulated hand-mount
+                                         # base correction from auto-
+                                         # armed init refinements (the
+                                         # extrinsic error is constant,
+                                         # so every reported base is
+                                         # pre-multiplied with this —
+                                         # tracked frames get corrected
+                                         # masks at zero per-frame cost)
 
 
 class TrackResult(NamedTuple):
@@ -754,10 +934,12 @@ class Tracker:
         self._prep_jit = jax.jit(self._prep)
         self._true = jnp.asarray(True)
 
-    def _prep(self, st: TrackerState):
+    def _prep(self, st: TrackerState, hand_base=None):
         """Jitted per-frame glue: RNG split, the watchdog predicate
-        (packed into ONE bool for a single host fetch), and both modes'
-        prior stacks."""
+        (packed into ONE bool for a single host fetch), both modes'
+        prior stacks, and the hand-delta-corrected base (None passes
+        through; the correction multiply rides in this one program
+        instead of costing an eager tunnel dispatch per frame)."""
         tr_cfg = self.est.cfg.tracker
         H = tr_cfg.n_hypotheses
         alpha = tr_cfg.motion_prior
@@ -800,7 +982,9 @@ class Tracker:
         else:
             prev_t = jnp.tile(st.pose[None], (H, 1, 1)) if H > 1 else st.pose
         prev_i = jnp.tile(st.pose[None], (H, 1, 1)) if H > 1 else st.pose
-        return key, sub, prev_t, prev_i, need_init
+        if hand_base is not None and st.hand_delta is not None:
+            hand_base = st.hand_delta @ jnp.asarray(hand_base)
+        return key, sub, prev_t, prev_i, need_init, hand_base
 
     def step(
         self,
@@ -810,7 +994,9 @@ class Tracker:
     ) -> TrackResult:
         st = self.state
         H = self.est.cfg.tracker.n_hypotheses
-        key, sub, prev_t, prev_i, need_init_dev = self._prep_jit(st)
+        key, sub, prev_t, prev_i, need_init_dev, hand_base = self._prep_jit(
+            st, hand_base
+        )
         # NOTE: bool(need_init) forces one host round-trip per frame. It
         # is unavoidable because the watchdog decision switches between
         # two DIFFERENT compiled programs (track vs init differ in
@@ -835,6 +1021,17 @@ class Tracker:
                 depth_m, prev_i if need_init else prev_t, hand_base, hand_q,
                 key=sub, mode=mode,
             )
+        # accumulate the auto-armed base correction (init frames only;
+        # exact identity when the margin-accept rejected, so composing
+        # is a no-op then). The program saw the ALREADY-corrected base,
+        # so its delta composes LEFT of the running total. One eager
+        # 4x4 matmul per (rare) init frame — tracked frames never pay.
+        hand_delta = st.hand_delta
+        hc = self.est.cfg.hand
+        if (need_init and self.est.hand is not None
+                and hc.base_refine_auto and hc.base_refine_iters == 0):
+            hand_delta = (out.hand_delta if hand_delta is None
+                          else out.hand_delta @ hand_delta)
         self.state = TrackerState(
             pose=out.pose,
             frame_idx=st.frame_idx + 1,
@@ -851,6 +1048,7 @@ class Tracker:
             prev_pose=(st.pose if (not need_init and st.pose_tracked)
                        else None),
             pose_tracked=not need_init,
+            hand_delta=hand_delta,
         )
         return TrackResult(
             pose=out.pose, fitness=out.fitness, coverage=out.coverage,
@@ -871,6 +1069,8 @@ class Tracker:
             )
         if st.prev_pose is not None:
             extra["prev_pose"] = np.asarray(st.prev_pose)
+        if st.hand_delta is not None:
+            extra["hand_delta"] = np.asarray(st.hand_delta)
         np.savez(
             _ckpt_path(path),
             pose=np.asarray(st.pose),
@@ -909,5 +1109,8 @@ class Tracker:
             pose_tracked=(
                 bool(z["pose_tracked"]) if "pose_tracked" in z
                 else "prev_pose" in z
+            ),
+            hand_delta=(
+                jnp.asarray(z["hand_delta"]) if "hand_delta" in z else None
             ),
         )

@@ -64,6 +64,8 @@ def score_particles(
     subpixel: bool = False,
     observed_enc: jax.Array | None = None,  # precomputed encode_observed
     mxu_tables: tuple | None = None,        # pre-split MXU gather tables
+    sample_mask: jax.Array | None = None,   # [Nr] frame-constant sample
+                                            # visibility (self-occlusion)
 ) -> tuple[jax.Array, jax.Array]:
     """Render-and-compare fitness for every particle. Returns
     (fitness [P], coverage [P]).
@@ -88,8 +90,12 @@ def score_particles(
             observed_enc=observed_enc,
             mxu_tables=mxu_tables,
             neutral_cov_exempt=score_cfg.neutral_cov_exempt,
+            sample_mask=sample_mask,
+            mask_count_floor=score_cfg.self_occ_count_floor,
         )
     else:
+        if sample_mask is not None:
+            render_w = render_w * sample_mask
         depths = render.splat_depth_batched(
             pts_cam, render_w, fx=fx, fy=fy, cx=cx, cy=cy,
             height=height, width=width, radius=splat_radius,
@@ -139,6 +145,12 @@ def pso(
                        # excluded pixels (hand drop/speckle) — encoded as
                        # the no-evidence class, see score.encode_observed
     observed_hi: tuple | None = None,
+    render_vis: jax.Array | None = None,  # [Nr] bool frame-constant render-
+                       # sample visibility at the incumbent pose (second-
+                       # order self-occlusion, estimator._search). Applied
+                       # at EVERY tier of this frame — scan, explorer,
+                       # polish, finisher — so fitness values stay
+                       # comparable across the final selection.
     explorer_seeds: jax.Array | None = None,  # [E,4,4] global-search seeds
                        # refined OUTSIDE the swarm (in-swarm explorers get
                        # recycled by the elite resample before they can
@@ -204,6 +216,7 @@ def pso(
         splat_radius=splat_radius, score_cfg=score_cfg,
         observed_enc=enc_lo,
         mxu_tables=mxu_lo,
+        sample_mask=None if render_vis is None else render_vis[:kr],
     )
     if observed_hi is not None:
         (d_hi, v_hi, n_hi, h_hi,
@@ -228,6 +241,7 @@ def pso(
             # gather removes the ~z/f-per-pixel quantization floor
             subpixel=score_cfg.subpixel,
             observed_enc=enc_hi,
+            sample_mask=render_vis,
         )
     else:
         score_fn_hi = score_fn
@@ -521,6 +535,7 @@ def pso(
                 subpixel=score_cfg.subpixel,
                 observed_enc=enc_hi,
                 mxu_tables=mxu_fin,
+                sample_mask=render_vis,
             )
         # Sigma LADDER: each iteration's batch spans finish_sigma_rungs
         # anneal scales simultaneously (particle i at sigma_decay^(i%R)),

@@ -271,6 +271,16 @@ def compare_points(
     observed_enc: jax.Array | None = None,
     mxu_tables: tuple | None = None,
     neutral_cov_exempt: bool = False,
+    sample_mask: jax.Array | None = None,  # [N] bool: sample participates
+                       # (frame-constant visibility from the incumbent
+                       # pose — second-order self-occlusion, see
+                       # estimator._search; candidate-independent so it
+                       # is rank-neutral across the swarm)
+    mask_count_floor: float = 0.5,  # masked-path denominator floor as a
+                       # fraction of the UNMASKED counted set — see the
+                       # fitness block below for the failure mode this
+                       # guards (far candidates become denominator-
+                       # fragile lottery tickets without it)
 ) -> ScoreTerms:
     """Point-wise render-and-compare: projective association instead of a
     per-particle z-buffer.
@@ -409,6 +419,13 @@ def compare_points(
             d_hand = jnp.take(hand_depth.reshape(-1), flat)
             vis = vis & ~(d_hand < z - occlusion_margin)
 
+    # The incumbent-visibility mask is applied LAST (after the hand-
+    # occlusion culls above) so `vis0` below is the exact unmasked
+    # equivalent of `vis` for the denominator floor.
+    vis0 = vis
+    if sample_mask is not None:
+        vis = vis & sample_mask
+
     diff = z - jnp.where(v_obs, d_obs, jnp.inf)
     absdiff = jnp.abs(diff)
     counted = vis & v_obs
@@ -423,9 +440,31 @@ def compare_points(
     n_ghost = jnp.sum(ghost.astype(dt), axis=-1)
     n_counted = jnp.sum(counted.astype(dt), axis=-1) + n_ghost
 
+    n_den = jnp.maximum(n_counted, 1.0)
+    if sample_mask is not None:
+        # Denominator FLOOR at a fraction of the UNMASKED counted set.
+        # The mask is frame-constant so it is rank-neutral NEAR the
+        # incumbent, but a far candidate (explorer seed, flip
+        # hypothesis) faces the camera with the half of the model the
+        # incumbent mask culled: its counted set collapses to a sliver
+        # and support/n_counted becomes a high-variance lottery ticket —
+        # measured r5 (tiny verify config): per-frame ADD-S 4.8 -> 58.9
+        # mm with the raw masked denominator, bitwise-identical to
+        # unmasked with an all-true mask (plumbing no-op pinned by
+        # tests). Flooring at mask_count_floor * unmasked count leaves
+        # near-incumbent ranking untouched (their masked count sits
+        # above the floor unless the shape hides > that fraction of
+        # itself) and scales far candidates' fitness by their true
+        # evidence fraction instead of their surviving sliver.
+        counted0 = vis0 & v_obs
+        ghost0 = vis0 & (e_ref >= 0.5 * _FAR)
+        n0 = (jnp.sum(counted0.astype(dt), axis=-1)
+              + jnp.sum(ghost0.astype(dt), axis=-1))
+        n_den = jnp.maximum(n_den, mask_count_floor * n0)
+
     fitness = (
         support - wrong_side_penalty * n_wrong - invalid_penalty * n_ghost
-    ) / jnp.maximum(n_counted, 1.0)
+    ) / n_den
     fitness = jnp.where(n_counted > 0, fitness, -wrong_side_penalty)
 
     # coverage denominator: by default ALL front-facing in-bounds
@@ -446,6 +485,11 @@ def compare_points(
         no_ev = vis & (e_ref < 0.5 * (_NEAR + _NEUTRAL))
         n_vis = n_vis - jnp.sum(no_ev.astype(dt), axis=-1)
     n_vis = jnp.maximum(n_vis, 1.0)
+    if sample_mask is not None:
+        # same sliver guard as the fitness denominator: coverage feeds
+        # the best-hypothesis selection and the reinit watchdog
+        n_vis = jnp.maximum(
+            n_vis, mask_count_floor * jnp.sum(vis0.astype(dt), axis=-1))
     coverage = jnp.sum(match.astype(dt), axis=-1) / n_vis
     return ScoreTerms(
         fitness=fitness, coverage=coverage, support=support, counted=n_counted

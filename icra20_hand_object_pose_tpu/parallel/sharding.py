@@ -207,6 +207,11 @@ class LibrarySweep:
                     coverage=obj_sharding, fitness_trace=obj_sharding,
                     n_scene=obj_sharding,
                     hyp_poses=obj_sharding, hyp_fitness=obj_sharding,
+                    # auto-armed base correction: per-object in sweep mode
+                    # (carried only by the single-object Tracker; sweeps
+                    # re-register per trial, so SweepState does not
+                    # accumulate it)
+                    hand_delta=obj_sharding,
                 ),
             )
         statics = (10, 11, 12, 13, 14)
@@ -309,7 +314,7 @@ class LibrarySweep:
         per-scene path bitwise (pinned in tests/test_sharding.py)."""
         sub = jax.vmap(partial(jax.random.split, num=4))(keys)  # [O,4]
         prep = self._est._scene_prep(
-            sub[0, 0], sub[0, 1], depth, hand_base, hand_q
+            sub[0, 0], sub[0, 1], depth, hand_base, hand_q, init_scoring
         )
         fn = partial(
             self._est._search, n_particles=n_particles,

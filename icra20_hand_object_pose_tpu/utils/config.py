@@ -270,6 +270,82 @@ class ScoreConfig:
                                         # a mm-scale gradient toward the
                                         # hand region (asym noisy pinned
                                         # gate 1.8 -> >2.4 mm)
+    self_occlusion: bool = True         # second-order visibility (track
+                                        # program only): each render
+                                        # sample's visibility is decided
+                                        # ONCE per frame over the SEARCH
+                                        # REGION (hypothesis priors +
+                                        # self_occ_union sigma-perturbed
+                                        # draws; splat + z-test, union —
+                                        # estimator._search) and the
+                                        # frame-constant [Nr] mask rides
+                                        # through every scoring tier, so
+                                        # front-facing samples hidden
+                                        # behind another part of the SAME
+                                        # object (concave geometry — mug
+                                        # cavity, bracket web) stop
+                                        # diluting fitness. Candidate-
+                                        # independent by design: per-
+                                        # candidate z-tests against an
+                                        # incumbent map inject selection
+                                        # noise (measured r5: fine-sigma
+                                        # rank-vs-error tee 0.80 -> 0.68
+                                        # per-pixel vs 0.80 -> 0.90
+                                        # per-sample). Init keeps pure
+                                        # back-face culling: global
+                                        # candidates have no incumbent.
+    self_occ_union: int = 6             # sigma-perturbed poses PER
+                                        # hypothesis unioned into the
+                                        # visibility test. An incumbent-
+                                        # only mask (0 draws) culls
+                                        # samples that rotate into view
+                                        # under unpredicted motion and
+                                        # biases every tier against the
+                                        # moved true pose — measured r5
+                                        # random-twist occlusion protocol,
+                                        # convex box theta 30/50: 5.5/6.7
+                                        # mm tracked mean incumbent-only
+                                        # vs 1.6/1.7 mask-off; the union
+                                        # keeps any sample visible
+                                        # somewhere the swarm searches,
+                                        # so only interior concavities
+                                        # (hidden under EVERY nearby
+                                        # pose) are culled.
+    self_occ_count_floor: float = 0.5   # masked-fitness denominator floor
+                                        # as a fraction of the UNMASKED
+                                        # counted set (ops/score
+                                        # compare_points): keeps far
+                                        # candidates (explorer seeds, flip
+                                        # hypotheses) from winning on the
+                                        # sliver of samples the incumbent
+                                        # mask leaves them — measured r5
+                                        # tiny-config drive 4.8 -> 58.9 mm
+                                        # without the floor (all-true-mask
+                                        # plumbing pinned bitwise-neutral)
+    self_occ_tan_max: float = 2.5       # samples whose view angle exceeds
+                                        # atan(this) (~68 deg) at ANY
+                                        # region pose are exempt from
+                                        # culling: the splat footprint's
+                                        # own-face depth spread grows as
+                                        # tan(angle) and exceeds any
+                                        # affordable margin there, so a
+                                        # z-test cull is unreliable — and
+                                        # culling edge-on faces opened a
+                                        # lateral slide mode on flat
+                                        # geometry (see self_occ_union;
+                                        # box theta=50 6.6 -> measured
+                                        # fix). Interior self-occlusion
+                                        # is well-facing and unaffected.
+    self_occ_margin: float = 0.008      # meters; z-test margin for the
+                                        # incumbent visibility test. Must
+                                        # absorb the splat footprint depth
+                                        # bias on steep surfaces; measured
+                                        # (r5, concave set, fine sigma):
+                                        # 8 mm beats 12 mm (tee rank-vs-
+                                        # error 0.90 vs 0.87) because the
+                                        # tighter test removes more truly
+                                        # hidden samples while the splat
+                                        # bias stays ~1 lo-px lateral.
 
 
 @dataclass(frozen=True)
@@ -299,6 +375,43 @@ class HandConfig:
                                          # x0.5/round; covers ~3 deg / ~25 mm
                                          # extrinsic error at 2 sigma)
     base_refine_trans_sigma: float = 0.012  # meters
+    base_refine_auto: bool = True       # AUTO-ARM (VERDICT r4 item 5), in
+                                        # the INIT/re-registration program
+                                        # only: run the refinement search
+                                        # and accept its winner ONLY when
+                                        # the winner's observed-depth
+                                        # agreement beats the reported
+                                        # base's by base_refine_accept_
+                                        # margin. An absolute agreement
+                                        # threshold does NOT separate the
+                                        # regimes (measured r5,
+                                        # scripts/calibrate_base_agree.py:
+                                        # calibrated scores -0.05..0.25
+                                        # overlap miscalibrated
+                                        # -0.20..0.24 — the absolute level
+                                        # is scene-dominated), but the
+                                        # GAIN does: calibrated bases gain
+                                        # <= +0.059 (score-space splat-
+                                        # floor overfit only), genuinely
+                                        # miscalibrated ones gain
+                                        # +0.084..+0.273. Calibrated
+                                        # setups therefore keep the exact
+                                        # reported base; miscalibrated
+                                        # ones get the realistic-regime
+                                        # init rate through ONE default
+                                        # config. Track frames never pay
+                                        # (the search lives in the init
+                                        # program, whose cost it does not
+                                        # measurably move); explicit
+                                        # base_refine_iters > 0 still
+                                        # refines unconditionally in BOTH
+                                        # programs.
+    base_refine_accept_margin: float = 0.08  # agreement gain above which
+                                        # the refined base replaces the
+                                        # reported one (see
+                                        # base_refine_auto; measured gap:
+                                        # calibrated max +0.059 vs
+                                        # genuine-fix min +0.084)
     enabled: bool = True
     spec: str = "t42"                   # "t42" | "model_o" (procedural
                                         # built-ins) or a hand-spec YAML

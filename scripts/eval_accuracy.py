@@ -30,7 +30,8 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
         joint_sigma: float | None = None,
         fused_gn: bool = False,
         finisher: str | None = None,
-        base_refine: int = -1) -> dict:
+        base_refine: int = -1,
+        self_occ: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
@@ -49,7 +50,7 @@ def run(shape: str, noise: bool, subpixel: bool, frames: int,
                            cx=320.0, cy=240.0)
     from icra20_hand_object_pose_tpu.utils.config import TrackerConfig
 
-    score_kw = dict(subpixel=subpixel)
+    score_kw = dict(subpixel=subpixel, self_occlusion=self_occ)
     if tau_fine is not None:
         score_kw["depth_tau_fine"] = tau_fine
     tracker_kw = dict(n_hypotheses=n_hyp)
@@ -191,12 +192,15 @@ def main():
     ap.add_argument("--base-refine", type=int, default=-1,
                     help="hand-base refine rounds in --realistic mode "
                          "(-1 = auto 3, 0 = off for A/B)")
+    ap.add_argument("--no-self-occ", action="store_true",
+                    help="disable ScoreConfig.self_occlusion (A/B)")
     a = ap.parse_args()
     noises = {"clean": [False], "noisy": [True], "both": [False, True]}[a.noise]
     for n in noises:
         run(a.shape, n, not a.no_subpixel, a.frames, a.particles, a.init_gt,
             a.hyp, a.motion_prior, a.tau_fine, a.seed, a.realistic,
-            a.joint_sigma, a.fused_gn, a.finisher, a.base_refine)
+            a.joint_sigma, a.fused_gn, a.finisher, a.base_refine,
+            not a.no_self_occ)
 
 
 if __name__ == "__main__":

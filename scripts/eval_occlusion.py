@@ -36,11 +36,11 @@ def measured_occlusion(mesh, pose, hand, hb, hq, cam, segment_dist=0.008):
     object surface within segment_dist behind the hand (the preprocessing
     drop band — evidence the estimator must also do without)."""
     import jax.numpy as jnp
-    from icra20_hand_object_pose_tpu.datasets import render_frame_fast
+    from icra20_hand_object_pose_tpu.datasets import render_frame
     from icra20_hand_object_pose_tpu.ops import render
 
-    d_obj = render_frame_fast(mesh, pose, None, np.eye(4, dtype=np.float32),
-                              np.zeros(2, np.float32), cam)
+    d_obj = render_frame(mesh, pose, None, np.eye(4, dtype=np.float32),
+                         np.zeros(2, np.float32), cam)
     hm = hand.merged_mesh(np.asarray(hq))
     hp, _ = hm.sample_surface(8192, seed=8)
     B = np.asarray(hb, np.float32)
@@ -76,11 +76,11 @@ def frontal_grasp_base(object_pose, theta_deg, offset=0.10):
     return out
 
 
-def run_level(shape, dy, curl, frames, seeds, theta=0.0):
+def run_level(shape, dy, curl, frames, seeds, theta=0.0, self_occ=True):
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
-        default_object_pose, hand_base_for_grasp, render_frame_fast,
+        default_object_pose, hand_base_for_grasp, render_frame,
     )
     from icra20_hand_object_pose_tpu.evaluation import add_s_error
     from icra20_hand_object_pose_tpu.models import (
@@ -88,13 +88,14 @@ def run_level(shape, dy, curl, frames, seeds, theta=0.0):
     )
     from icra20_hand_object_pose_tpu.utils import meshio, se3
     from icra20_hand_object_pose_tpu.utils.config import (
-        CameraIntrinsics, EstimatorConfig, PsoConfig,
+        CameraIntrinsics, EstimatorConfig, PsoConfig, ScoreConfig,
     )
 
     cam = CameraIntrinsics(width=640, height=480, fx=570.0, fy=570.0,
                            cx=320.0, cy=240.0)
     cfg = EstimatorConfig(camera=cam, scene_points=2048,
-                          pso=PsoConfig(particles=512, iters=10))
+                          pso=PsoConfig(particles=512, iters=10),
+                          score=ScoreConfig(self_occlusion=self_occ))
     mesh = meshio.make_test_object(shape)
     obj = ObjectModel(mesh, model_points=1024, render_points=2048)
     hand = make_t42_hand()
@@ -129,8 +130,16 @@ def run_level(shape, dy, curl, frames, seeds, theta=0.0):
                     k1, jnp.asarray(cur), 0.05, 0.004)).astype(np.float32)
                 hb = (nxt @ np.linalg.inv(cur) @ hb).astype(np.float32)
                 cur = nxt
-            dep = render_frame_fast(mesh, cur, hand, hb, hq, cam,
-                                    noise_sigma=0.001, rng=rng)
+            # EXACT raster observed data (r5): the splat renderer
+            # (render_frame_fast) biases the observed surface toward the
+            # camera by up to ~(radius+0.5) px * slope — a constant
+            # ~0.5-1.2 mm ADD-S offset even for a perfect estimator
+            # (measured r5 level-0 A/B: box 2.23 -> 1.72 mm, asym
+            # 1.82 -> 1.03 mm). Accuracy protocols must consume the same
+            # exact raster the headline protocol (generate_sequence)
+            # uses; the splat stays only in pure-throughput benches.
+            dep = render_frame(mesh, cur, hand, hb, hq, cam,
+                               noise_sigma=0.001, rng=rng)
             drop = rng.random(dep.shape) < 0.02          # 2% dropout
             dep = np.where(drop, 0.0, dep).astype(np.float32)
             res = tracker.step(jnp.asarray(dep), jnp.asarray(hb),
@@ -159,6 +168,10 @@ def main():
     ap.add_argument("--shape", default="asym")
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--no-self-occ", action="store_true",
+                    help="A/B: disable ScoreConfig.self_occlusion")
+    ap.add_argument("--theta", type=float, nargs="*", default=None,
+                    help="run only these theta levels (default: all six)")
     args = ap.parse_args()
     # sweep: the side grasp tops out ~18% measured occlusion (one finger
     # in front); rotating the approach toward the camera (theta) puts
@@ -166,7 +179,10 @@ def main():
     for dy, curl, theta in [(0.0, 0.45, 0.0), (0.0, 0.45, 30.0),
                             (0.0, 0.45, 50.0), (0.0, 0.45, 65.0),
                             (0.0, 0.45, 78.0), (0.0, 0.45, 88.0)]:
-        run_level(args.shape, dy, curl, args.frames, args.seeds, theta)
+        if args.theta is not None and theta not in args.theta:
+            continue
+        run_level(args.shape, dy, curl, args.frames, args.seeds, theta,
+                  self_occ=not args.no_self_occ)
 
 
 if __name__ == "__main__":

@@ -141,7 +141,7 @@ def test_tracker_speculative_dispatch_bit_identical(setup):
     out0 = tracker.step(depth, hb, hq)          # pose_tracked False: direct
     assert tracker.state.pose_tracked           # next step speculates
     st = tracker.state
-    key, sub, prev_t, prev_i, ni = tracker._prep_jit(st)
+    key, sub, prev_t, prev_i, ni, _hb = tracker._prep_jit(st)
     assert not bool(ni)
     ref = est.estimate(depth, prev_t, hb, hq, key=sub, mode="track")
     out1 = tracker.step(depth, hb, hq)          # speculative path
@@ -154,7 +154,7 @@ def test_tracker_speculative_dispatch_bit_identical(setup):
     tracker.state = tracker.state._replace(fitness=jnp.asarray(0.0))
     st = tracker.state
     assert st.pose_tracked
-    key, sub, prev_t, prev_i, ni = tracker._prep_jit(st)
+    key, sub, prev_t, prev_i, ni, _hb = tracker._prep_jit(st)
     assert bool(ni)
     ref_i = est.estimate(depth, prev_i, hb, hq, key=sub, mode="init")
     out2 = tracker.step(depth, hb, hq)

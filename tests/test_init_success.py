@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import pytest
 
 from icra20_hand_object_pose_tpu.datasets import (
-    hand_base_for_grasp, render_frame_fast,
+    hand_base_for_grasp, render_frame,
 )
 from icra20_hand_object_pose_tpu.evaluation import add_s_error
 from icra20_hand_object_pose_tpu.models import (
@@ -57,7 +57,7 @@ def test_global_init_success(shape, min_ok):
         pose_gt[:3, 3] = [rng.uniform(-0.06, 0.06), rng.uniform(-0.05, 0.05),
                           rng.uniform(0.40, 0.60)]
         hb = hand_base_for_grasp(pose_gt)
-        depth = render_frame_fast(
+        depth = render_frame(
             mesh, pose_gt, hand, hb, hq, CAM, noise_sigma=0.001,
             rng=np.random.default_rng(1000 + t),
         )
@@ -73,7 +73,7 @@ def test_global_init_success(shape, min_ok):
             jax.random.fold_in(keys[t], 2), jnp.asarray(pose_gt),
             0.035, 0.002)).astype(np.float32)
         hb1 = (pose1 @ np.linalg.inv(pose_gt) @ hb).astype(np.float32)
-        depth1 = render_frame_fast(
+        depth1 = render_frame(
             mesh, pose1, hand, hb1, hq, CAM, noise_sigma=0.001,
             rng=np.random.default_rng(2000 + t),
         )
@@ -117,7 +117,7 @@ def test_grasp_occluded_slide_case(shape, trial):
     pose_gt[:3, 3] = [-0.06 + 0.12 * u[0], -0.05 + 0.10 * u[1],
                       0.40 + 0.20 * u[2]]
     hb = hand_base_for_grasp(pose_gt)
-    depth = render_frame_fast(
+    depth = render_frame(
         mesh, pose_gt, hand, hb, hq, CAM, noise_sigma=0.001,
         rng=np.random.default_rng(1000 + trial),
     )

@@ -24,7 +24,7 @@ import pytest
 
 from icra20_hand_object_pose_tpu.datasets import (
     SensorModel, SyntheticSequenceConfig, generate_sequence,
-    hand_base_for_grasp, render_frame_fast,
+    hand_base_for_grasp, render_frame,
 )
 from icra20_hand_object_pose_tpu.evaluation import add_s_error
 from icra20_hand_object_pose_tpu.models import (
@@ -106,7 +106,7 @@ def test_realistic_init(shape):
             np.concatenate([w, v]), jnp.float32)))
         hb_rep = (err_T @ hb).astype(np.float32)
         q_true = (hq + cal.choice([-0.15, 0.15])).astype(np.float32)
-        depth = render_frame_fast(mesh, gt, hand, hb, q_true, CAM,
+        depth = render_frame(mesh, gt, hand, hb, q_true, CAM,
                                   rng=np.random.default_rng(1000 + t),
                                   sensor=sm)
         out = est.estimate(jnp.asarray(depth), jnp.eye(4),
@@ -122,7 +122,7 @@ def test_realistic_init(shape):
             0.035, 0.002)).astype(np.float32)
         hb1 = (p1 @ np.linalg.inv(gt) @ hb).astype(np.float32)
         hb1_rep = (p1 @ np.linalg.inv(gt) @ hb_rep).astype(np.float32)
-        d1 = render_frame_fast(mesh, p1, hand, hb1, q_true, CAM,
+        d1 = render_frame(mesh, p1, hand, hb1, q_true, CAM,
                                rng=np.random.default_rng(2000 + t),
                                sensor=sm)
         out1 = est.estimate(jnp.asarray(d1), out.pose,
