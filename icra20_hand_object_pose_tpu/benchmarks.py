@@ -30,8 +30,15 @@ def bench_sweep(n_objects: int = 8, particles: int = 128,
     `shared=True` benches the shared-scene model-library mode (ONE
     observed frame, O candidate models): _scene_prep runs once per step
     instead of O times — the per-object fixed cost the r3 SURVEY flagged
-    as the sweep's remaining gap. Run via `python bench.py
-    --sweep-shared`."""
+    as the sweep's remaining gap. The shared workload uses O copies of
+    the TRUE model so every candidate locks and the steady state is pure
+    tracking in both modes — feeding O DIFFERENT candidate models one
+    scene is the library-IDENTIFICATION workload, where the 7 mis-
+    fitting candidates correctly re-run the (much heavier) init program
+    every frame and the number measures the watchdog, not the prep
+    dedup (measured r5: 224 ms/object-frame, mask on or off, vs 39.5 ms
+    at O=1 — that first confusing `--sweep-shared` result was this).
+    Run via `python bench.py --sweep-shared`."""
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
@@ -51,8 +58,13 @@ def bench_sweep(n_objects: int = 8, particles: int = 128,
         camera=cam, scene_points=2048,
         pso=PsoConfig(particles=particles, iters=pso_iters),
     )
-    shapes = ["box", "cylinder", "sphere", "ellipsoid"]
-    meshes = [meshio.make_test_object(shapes[i % 4]) for i in range(n_objects)]
+    if shared:
+        # all-true-model library (see docstring): isolates the prep dedup
+        meshes = [meshio.make_test_object("box") for _ in range(n_objects)]
+    else:
+        shapes = ["box", "cylinder", "sphere", "ellipsoid"]
+        meshes = [meshio.make_test_object(shapes[i % 4])
+                  for i in range(n_objects)]
     hand = make_t42_hand()
     objs = [ObjectModel(m, seed=i) for i, m in enumerate(meshes)]
     sweep = LibrarySweep(objs, hand, cfg, shared_scene=shared)
@@ -60,8 +72,6 @@ def bench_sweep(n_objects: int = 8, particles: int = 128,
     hb = hand_base_for_grasp(pose_gt)
     hq = np.asarray([0.45, 0.45], np.float32)
     if shared:
-        # the library scenario: ONE observed frame (object 0 is the true
-        # model), every candidate searches the same scene
         depths = jnp.asarray(render_frame_fast(
             meshes[0], pose_gt, hand, hb, hq, cam, noise_sigma=0.001))
         hbs = jnp.asarray(hb)

@@ -275,23 +275,43 @@ class Estimator:
             clouds = clouds[top]
         flat = clouds.reshape(-1, 3)
         w = jnp.ones(flat.shape[0], flat.dtype)
-        # Full-res hand depth: classifies pixels (hand itself, or behind a
-        # finger -> unreliable) for preprocessing drop.
-        hd_full = render.splat_depth(
-            flat, w, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
-            height=cam.height, width=cam.width, radius=2,
-        )
-        # Low-res conservative occluder depth for render-and-compare
-        # (at render_factor == 1 the full-res map is reused — a second
-        # VGA scatter splat costs ~100 ms on TPU).
         if self.render_factor == 1:
+            # one VGA splat serves both roles (a second full-res scatter
+            # costs ~100 ms on TPU)
+            hd_full = render.splat_depth(
+                flat, w, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                height=cam.height, width=cam.width, radius=2,
+            )
             hd_lo = hd_full
         else:
+            # Low-res conservative occluder depth for render-and-compare.
             hd_lo = render.splat_depth(
                 flat, w, fx=self.lo_fx, fy=self.lo_fy,
                 cx=self.lo_cx, cy=self.lo_cy,
                 height=self.lo_h, width=self.lo_w, radius=1,
             )
+            if cfg.hand.full_res_mask:
+                # Full-res hand depth: classifies pixels (hand itself, or
+                # behind a finger -> unreliable) for preprocessing drop.
+                hd_full = render.splat_depth(
+                    flat, w, fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                    height=cam.height, width=cam.width, radius=2,
+                )
+            else:
+                # nearest-upsample the lo splat: the min-pooled lo grid is
+                # conservative toward the camera, so the drop band only
+                # WIDENS (never leaks hand pixels into the scene); the
+                # exact point-level removal below stays full-precision
+                f = self.render_factor
+                up = jnp.repeat(jnp.repeat(hd_lo, f, axis=0), f, axis=1)
+                hd_full = up[: cam.height, : cam.width]
+                pad_h = cam.height - hd_full.shape[0]
+                pad_w = cam.width - hd_full.shape[1]
+                if pad_h or pad_w:
+                    hd_full = jnp.pad(
+                        hd_full, ((0, pad_h), (0, pad_w)),
+                        constant_values=jnp.inf,
+                    )
         return hd_full, hd_lo, flat, hand_delta
 
     def _scene_prep(

@@ -352,6 +352,21 @@ class ScoreConfig:
 class HandConfig:
     """Hand segmentation / occlusion parameters (SURVEY.md §3 L3)."""
     segment_dist: float = 0.008         # meters; point-to-hand distance removal
+    full_res_mask: bool = True          # build the full-res hand drop
+                                        # mask with its own VGA splat
+                                        # (exact silhouette) vs nearest-
+                                        # upsampling the lo-res occluder
+                                        # splat (False): the VGA hand
+                                        # scatter is the last big scatter
+                                        # in the hot path (~4.3 ms of the
+                                        # 34 ms frame incl. FK/config
+                                        # scoring); the upsampled mask
+                                        # quantizes the drop band to the
+                                        # lo grid (~4 px) — the exact
+                                        # point-level distance removal
+                                        # still runs at full precision
+                                        # either way. Kept as a measured
+                                        # A/B knob (see SURVEY r5 notes).
     config_samples: int = 8             # sampled finger configurations
     config_select: int = 3              # keep the config_select sampled
                                         # configs that best agree with the
