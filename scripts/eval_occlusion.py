@@ -76,7 +76,8 @@ def frontal_grasp_base(object_pose, theta_deg, offset=0.10):
     return out
 
 
-def run_level(shape, dy, curl, frames, seeds, theta=0.0, self_occ=True):
+def run_level(shape, dy, curl, frames, seeds, theta=0.0, self_occ=True,
+              noise_sigma=0.001, dropout=0.02):
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
@@ -104,6 +105,7 @@ def run_level(shape, dy, curl, frames, seeds, theta=0.0, self_occ=True):
     hq = np.asarray([curl, curl], np.float32)
 
     errs, occs, covs, n_reinit = [], [], [], 0
+    rot_errs, trans_errs = [], []
     for seed in range(seeds):
         rng = np.random.default_rng(7000 + seed)
         pose = default_object_pose()
@@ -139,8 +141,8 @@ def run_level(shape, dy, curl, frames, seeds, theta=0.0, self_occ=True):
             # exact raster the headline protocol (generate_sequence)
             # uses; the splat stays only in pure-throughput benches.
             dep = render_frame(mesh, cur, hand, hb, hq, cam,
-                               noise_sigma=0.001, rng=rng)
-            drop = rng.random(dep.shape) < 0.02          # 2% dropout
+                               noise_sigma=noise_sigma, rng=rng)
+            drop = rng.random(dep.shape) < dropout
             dep = np.where(drop, 0.0, dep).astype(np.float32)
             res = tracker.step(jnp.asarray(dep), jnp.asarray(hb),
                                jnp.asarray(hq))
@@ -148,12 +150,20 @@ def run_level(shape, dy, curl, frames, seeds, theta=0.0, self_occ=True):
             n_reinit += bool(res.reinitialized)
             if f > 0:
                 errs.append(add_s_error(np.asarray(res.pose), cur, dense))
+                # pose-error decomposition (diagnostic: flat-face shapes
+                # concentrate error in the silhouette-constrained DOF)
+                dT = np.asarray(res.pose) @ np.linalg.inv(cur)
+                ang = np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1)
+                rot_errs.append(np.degrees(np.arccos(ang)))
+                trans_errs.append(np.linalg.norm(dT[:3, 3]))
     print(json.dumps({
         "shape": shape, "dy_mm": round(dy * 1000, 1), "curl": curl,
-        "theta_deg": theta,
+        "theta_deg": theta, "noise_sigma": noise_sigma,
         "occlusion_pct": round(100 * float(np.mean(occs)), 1),
         "adds_mm_tracked_mean": round(float(np.mean(errs)) * 1000, 3),
         "adds_mm_p90": round(float(np.quantile(errs, 0.9)) * 1000, 3),
+        "rot_deg_mean": round(float(np.mean(rot_errs)), 3),
+        "trans_mm_mean": round(float(np.mean(trans_errs)) * 1000, 3),
         # coverage under occlusion: validates the watchdog threshold
         # (TrackerConfig.coverage_reinit_threshold) stays collapse-only
         "coverage_min": round(float(np.min(covs)), 3),
@@ -172,6 +182,9 @@ def main():
                     help="A/B: disable ScoreConfig.self_occlusion")
     ap.add_argument("--theta", type=float, nargs="*", default=None,
                     help="run only these theta levels (default: all six)")
+    ap.add_argument("--clean", action="store_true",
+                    help="A/B: no sensor noise / dropout (bias-vs-variance "
+                         "decomposition of a level's tracked error)")
     args = ap.parse_args()
     # sweep: the side grasp tops out ~18% measured occlusion (one finger
     # in front); rotating the approach toward the camera (theta) puts
@@ -182,7 +195,9 @@ def main():
         if args.theta is not None and theta not in args.theta:
             continue
         run_level(args.shape, dy, curl, args.frames, args.seeds, theta,
-                  self_occ=not args.no_self_occ)
+                  self_occ=not args.no_self_occ,
+                  noise_sigma=0.0 if args.clean else 0.001,
+                  dropout=0.0 if args.clean else 0.02)
 
 
 if __name__ == "__main__":
