@@ -67,35 +67,18 @@ def add_sym_error(
 def symmetry_group(kind: str) -> list[np.ndarray]:
     """Discrete rotational symmetries of the procedural test objects
     (4x4 transforms, identity included). For 'cylinder'/'sphere' the
-    continuous symmetry is not enumerable — use ADD-S there."""
-    def rot(axis, deg):
-        T = np.eye(4)
-        w = np.zeros(3)
-        w[axis] = np.radians(deg)
-        th = np.linalg.norm(w)
-        k = w / th
-        K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
-        T[:3, :3] = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * K @ K
-        return T
+    continuous symmetry is not enumerable — use ADD-S there. The group
+    itself is catalogued once in utils.meshio.object_symmetry_group
+    (which also feeds the tracker's symmetry-branch snap via
+    Mesh.symmetries); this wrapper keeps the metric-side API."""
+    from .utils.meshio import object_symmetry_group
 
-    eye = [np.eye(4)]
-    if kind == "box":
-        # make_test_object('box') is a SQUARE prism (0.05, 0.05, 0.12):
-        # its proper rotation group is the square-prism group (order 8) —
-        # C4 about z plus 180-degree flips about x, y, and both xy
-        # diagonals (ADVICE r2: D2 alone reported a large ADD for a
-        # correct 90-degree z-flip).
-        group = [rot(2, d) for d in (90.0, 180.0, 270.0)]
-        group += [rot(a, 180.0) for a in range(2)]
-        # diagonal C2 axes (1,+-1,0)/sqrt(2): compose z-rot(+-90) with x-flip
-        group += [rot(2, 90.0) @ rot(0, 180.0), rot(2, -90.0) @ rot(0, 180.0)]
-        return eye + group
-    if kind == "ellipsoid":
-        # distinct semi-axes (0.6, 1.0, 1.4): D2 180-degree flips only
-        return eye + [rot(a, 180.0) for a in range(3)]
-    if kind in ("lbracket", "tee", "mug", "asym"):
-        return eye
-    raise ValueError(f"no discrete symmetry group catalogued for {kind!r}")
+    if kind in ("cylinder", "sphere"):
+        raise ValueError(f"no discrete symmetry group catalogued for {kind!r}")
+    group = object_symmetry_group(kind)   # raises on unknown kinds
+    if group is None:                     # trivial (asym / concave set)
+        return [np.eye(4)]
+    return [np.asarray(S, np.float64) for S in group]
 
 
 def rotation_error_deg(T_est: np.ndarray, T_gt: np.ndarray) -> float:

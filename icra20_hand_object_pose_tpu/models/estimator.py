@@ -442,7 +442,8 @@ class Estimator:
         # rotations leave large orientation holes at swarm sizes, and a
         # missed true basin = a pseudo-symmetric lock (see se3.
         # super_fibonacci_rotations)
-        model_pts, model_normals, render_pts, render_normals, render_w = obj_tensors
+        (model_pts, model_normals, render_pts, render_normals, render_w,
+         symmetries) = obj_tensors
         kr = min(cfg.pso.scan_render_subset, render_pts.shape[0])
 
         # Second-order visibility (ScoreConfig.self_occlusion, VERDICT r4
@@ -690,6 +691,11 @@ class Estimator:
             nn_fn=self.nn_fn, corr_fn=self.corr_fn, gn_fn=self.gn_fn,
             axis_name=axis_name,
             render_vis=render_vis,
+            # continuity tie-break (PsoConfig.tie_break_eps): only when
+            # this frame actually tracks from the prior (uniform_rot is
+            # the traced re-init/global-init bool — same compiled program)
+            prior_pose=prev_poses[0],
+            prior_valid=jnp.logical_not(uniform_rot),
             explorer_seeds=explorer_seeds,
             observed_neutral=scene.neutral,
             observed_hi=(
@@ -698,14 +704,25 @@ class Estimator:
                 cam.fx, cam.fy, cam.cx, cam.cy, cam.height, cam.width,
             ),
         )
+        # Symmetry-branch snap (ops/pso.snap_to_branch): report the
+        # best pose's symmetry-equivalent closest to the prior. Exact
+        # twins render identically, so the fine-tier argmax otherwise
+        # picks a branch per frame on sampling noise (box: ~90° hops in
+        # the reported stream). Tracked frames only — on a global init
+        # (uniform_rot) there is no meaningful prior branch.
+        best_pose = result.best_pose
+        if symmetries.shape[0] > 1:
+            snapped = pso.snap_to_branch(
+                best_pose, prev_poses[0], symmetries, model_pts)
+            best_pose = jnp.where(uniform_rot, best_pose, snapped)
         # competing-basin hypotheses from the fine-tier candidate set
         # (slot 0 is always the finisher-refined best)
         hyp_poses, hyp_fitness = pso.diverse_hypotheses(
             result.cand_poses, result.cand_fitness, n_hyp,
-            first_pose=result.best_pose, first_fitness=result.best_fitness,
+            first_pose=best_pose, first_fitness=result.best_fitness,
         )
         return FrameResult(
-            pose=result.best_pose,
+            pose=best_pose,
             fitness=result.best_fitness,
             coverage=result.best_coverage,
             fitness_trace=result.fitness_trace,
@@ -859,7 +876,8 @@ class Estimator:
         dyn = (
             key, depth_m, prev_pose, hand_base, hand_q,
             (self.obj.model_pts, self.obj.model_normals,
-             self.obj.render_pts, self.obj.render_normals, self.obj.render_w),
+             self.obj.render_pts, self.obj.render_normals, self.obj.render_w,
+             self.obj.symmetries),
             *consts,
         )
         static = dict(

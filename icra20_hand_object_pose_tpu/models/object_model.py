@@ -43,6 +43,17 @@ class ObjectModel:
         self.render_w = jnp.ones((render_points,), jnp.float32)
         self.diameter = float(mesh.diameter())
         self.centroid = np.asarray(mesh.centroid(), np.float32)
+        # [S,4,4] discrete symmetry group (identity alone when trivial /
+        # unknown): rides obj_tensors into the frame program so the
+        # tracker can snap its reported pose to the prior's symmetry
+        # branch (ops/pso.snap_to_branch) — an exact-symmetry twin
+        # renders an IDENTICAL depth image, so which branch is reported
+        # is pure convention; the snap makes it the temporally-stable one.
+        sym = getattr(mesh, "symmetries", None)
+        self.symmetries = jnp.asarray(
+            np.eye(4, dtype=np.float32)[None] if sym is None
+            else np.asarray(sym, np.float32)
+        )
 
     @classmethod
     def load(cls, path: str, **kwargs) -> "ObjectModel":

@@ -113,6 +113,76 @@ def score_particles(
     return fitness, terms.coverage
 
 
+def continuity_select(
+    cand_poses: jax.Array,     # [C,4,4] fine-tier scored candidates
+    cand_fitness: jax.Array,   # [C]
+    prior_pose: jax.Array,     # [4,4] previous-frame / prior pose
+    model_pts: jax.Array,      # [Nm,3] model cloud (subset is used)
+    *,
+    eps: float,
+) -> jax.Array:
+    """Continuity tie-break at the fine-tier selection
+    (PsoConfig.tie_break_eps): among candidates within ``eps * |best|``
+    of the top fitness, return the index of the one CLOSEST to the prior
+    pose (mean point-to-point displacement of a model-cloud subset).
+
+    Exact-symmetry twins (square-prism box: a 90° z-twin renders an
+    IDENTICAL depth image) score equal up to per-frame sampling noise and
+    otherwise hop frame to frame — metric-benign (sampled ADD-S floors at
+    ~0.9 mm @ 8192 pts) but poison downstream: the hop injects a fake
+    ~90° velocity into the motion prior and jumps any consumer of the
+    pose stream. Near-ties WITHIN one basin differ by sub-mm, so the
+    prior-consistent pick costs nothing; genuine basin competition is
+    untouched (the measured flip-recovery margin is ~75% of fitness,
+    README — far outside any tie window). C ~ 18 candidates x 128 points:
+    negligible cost. Inputs are already all_gathered/replicated under
+    sharding, so every shard agrees on the same pick.
+    """
+    sub = model_pts[: min(128, model_pts.shape[0])]
+    pa = (jnp.einsum("cij,nj->cni", cand_poses[:, :3, :3], sub,
+                     precision=jax.lax.Precision.HIGHEST)
+          + cand_poses[:, None, :3, 3])
+    pb = se3.transform_points(prior_pose, sub)
+    d_prior = jnp.mean(jnp.linalg.norm(pa - pb[None], axis=-1), axis=-1)
+    fmax = jnp.max(cand_fitness)
+    elig = cand_fitness >= fmax - eps * jnp.abs(fmax)
+    return jnp.argmin(jnp.where(elig, d_prior, jnp.inf))
+
+
+def snap_to_branch(
+    pose: jax.Array,         # [4,4] selected best pose
+    prior_pose: jax.Array,   # [4,4] previous-frame / prior pose
+    symmetries: jax.Array,   # [S,4,4] discrete symmetry group (incl. eye;
+                             # identity-padded rows are harmless duplicates)
+    model_pts: jax.Array,    # [Nm,3] model cloud (subset is used)
+) -> jax.Array:
+    """Snap `pose` to the symmetry branch closest to the prior:
+    returns pose @ S*, S* = argmin_S mean point-to-point displacement of
+    a model subset between pose @ S and the prior.
+
+    For an EXACT model symmetry S, pose @ S renders an identical depth
+    image — which branch the estimator reports is pure convention, and
+    the fine-tier argmax picks whichever branch per-frame sampling noise
+    favors (measured r5, square-prism box, clean tracking: raw frame
+    rot error 32.6° mean from 90° twin hops while ADD-S read 1.2 mm).
+    Snapping AFTER the pure-argmax selection keeps the argmax's
+    drift-correcting behavior (a fitness-based continuity tie-break was
+    measured WORSE — see PsoConfig.tie_break_eps) while making the
+    reported pose stream temporally stable: no fake ~90° velocity in the
+    motion prior, no branch jumps for downstream consumers. Zero
+    accuracy cost by construction. S ~ 8 x 128 points: negligible."""
+    # full-f32 contractions throughout (se3.py header: DEFAULT bf16
+    # matmuls corrupt poses at millimeter scales)
+    prec = jax.lax.Precision.HIGHEST
+    cands = jnp.einsum("ij,sjk->sik", pose, symmetries, precision=prec)
+    sub = model_pts[: min(128, model_pts.shape[0])]
+    pa = (jnp.einsum("sij,nj->sni", cands[:, :3, :3], sub, precision=prec)
+          + cands[:, None, :3, 3])
+    pb = se3.transform_points(prior_pose, sub)
+    d = jnp.mean(jnp.linalg.norm(pa - pb[None], axis=-1), axis=-1)  # [S]
+    return cands[jnp.argmin(d)]
+
+
 def pso(
     key: jax.Array,
     poses0: jax.Array,          # [P,4,4] initial swarm
@@ -151,6 +221,13 @@ def pso(
                        # at EVERY tier of this frame — scan, explorer,
                        # polish, finisher — so fitness values stay
                        # comparable across the final selection.
+    prior_pose: jax.Array | None = None,  # [4,4] tracked-mode prior for
+                       # the continuity tie-break at the fine-tier
+                       # selection (PsoConfig.tie_break_eps); None in
+                       # pure-init callers
+    prior_valid: jax.Array | None = None,  # traced bool: the prior is
+                       # meaningful this frame (False on global re-init
+                       # frames — the same compiled program serves both)
     explorer_seeds: jax.Array | None = None,  # [E,4,4] global-search seeds
                        # refined OUTSIDE the swarm (in-swarm explorers get
                        # recycled by the elite resample before they can
@@ -476,6 +553,15 @@ def pso(
         c_sel = jax.lax.all_gather(c_sel, axis_name).reshape(-1)
         s_sel = jax.lax.all_gather(s_sel, axis_name).reshape(-1)
     bi = jnp.argmax(f_sel)
+    if prior_pose is not None and pso_cfg.tie_break_eps > 0:
+        bi_tie = continuity_select(
+            p_sel, f_sel, prior_pose, model_pts,
+            eps=pso_cfg.tie_break_eps,
+        )
+        if prior_valid is not None:
+            bi = jnp.where(prior_valid, bi_tie, bi)
+        else:
+            bi = bi_tie
     best_pose, best_fit, best_cov = p_sel[bi], f_sel[bi], c_sel[bi]
     # the finisher perturbs by millimeters: its support is frozen at the
     # selected basin's value (term0), keeping its fitness comparable to

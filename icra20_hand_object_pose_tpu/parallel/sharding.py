@@ -178,6 +178,18 @@ class LibrarySweep:
         self._render_pts = jnp.stack([o.render_pts for o in objects])
         self._render_normals = jnp.stack([o.render_normals for o in objects])
         self._render_w = jnp.stack([o.render_w for o in objects])
+        # per-object symmetry groups, identity-padded to the library's max
+        # group size (identity rows are harmless duplicates in the
+        # branch-snap argmin — ops/pso.snap_to_branch)
+        s_max = max(o.symmetries.shape[0] for o in objects)
+        self._symmetries = jnp.stack([
+            jnp.concatenate([
+                o.symmetries,
+                jnp.tile(jnp.eye(4, dtype=jnp.float32)[None],
+                         (s_max - o.symmetries.shape[0], 1, 1)),
+            ]) if o.symmetries.shape[0] < s_max else o.symmetries
+            for o in objects
+        ])
         self._diameters = np.asarray([o.diameter for o in objects], np.float32)
 
         obj_sharding = (
@@ -196,7 +208,7 @@ class LibrarySweep:
                     obj_sharding,  # prev poses
                     rep if shared_scene else obj_sharding,  # hand base(s)
                     rep if shared_scene else obj_sharding,  # hand q(s)
-                    (obj_sharding,) * 5,  # object tensors
+                    (obj_sharding,) * 6,  # object tensors
                     obj_sharding,  # rot_sigma [O]
                     obj_sharding,  # trans_sigma [O]
                     obj_sharding,  # uniform_rot [O]
@@ -355,6 +367,7 @@ class LibrarySweep:
         obj_tensors = (
             self._model_pts, self._model_normals,
             self._render_pts, self._render_normals, self._render_w,
+            self._symmetries,
         )
         f32 = lambda v: jnp.full((O,), v, jnp.float32)
         if mode == "track":

@@ -189,6 +189,30 @@ class PsoConfig:
                                         # the model's principal-axis extent
                                         # (offsets step by max_frac/(n/2) ≈
                                         # the ICP capture radius)
+    tie_break_eps: float = 0.0          # OPT-IN (default off — measured
+                                        # NEGATIVE) continuity tie-break
+                                        # at the fine-tier selection: among
+                                        # candidates within eps*|best| of
+                                        # the top fitness, pick the one
+                                        # CLOSEST to the prior pose.
+                                        # Measured r5 (box, noisy, level
+                                        # 0, eps=0.01): ADD-S 1.72 ->
+                                        # 2.13 mm, sym-aware ADD 2.64 ->
+                                        # 4.28 mm — on flat geometry the
+                                        # weak-DOF fitness gradient is
+                                        # shallow, so a ~3°-drifted
+                                        # incumbent stays inside any
+                                        # useful tie window and the
+                                        # tie-break SUPPRESSES the
+                                        # argmax's drift-correcting
+                                        # re-locks onto fresh crisp
+                                        # candidates. Symmetry-twin
+                                        # hopping (the problem this
+                                        # targeted) is solved at zero
+                                        # accuracy cost by the post-
+                                        # selection symmetry-branch snap
+                                        # instead (ops/pso.
+                                        # snap_to_branch, default on).
 
 
 @dataclass(frozen=True)

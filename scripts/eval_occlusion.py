@@ -77,13 +77,15 @@ def frontal_grasp_base(object_pose, theta_deg, offset=0.10):
 
 
 def run_level(shape, dy, curl, frames, seeds, theta=0.0, self_occ=True,
-              noise_sigma=0.001, dropout=0.02):
+              noise_sigma=0.001, dropout=0.02, finish_iters=-1):
     import jax
     import jax.numpy as jnp
     from icra20_hand_object_pose_tpu.datasets import (
         default_object_pose, hand_base_for_grasp, render_frame,
     )
-    from icra20_hand_object_pose_tpu.evaluation import add_s_error
+    from icra20_hand_object_pose_tpu.evaluation import (
+        add_s_error, add_error, symmetry_group,
+    )
     from icra20_hand_object_pose_tpu.models import (
         Estimator, ObjectModel, Tracker, make_t42_hand,
     )
@@ -94,8 +96,9 @@ def run_level(shape, dy, curl, frames, seeds, theta=0.0, self_occ=True,
 
     cam = CameraIntrinsics(width=640, height=480, fx=570.0, fy=570.0,
                            cx=320.0, cy=240.0)
+    pso_kw = {} if finish_iters < 0 else dict(finish_iters=finish_iters)
     cfg = EstimatorConfig(camera=cam, scene_points=2048,
-                          pso=PsoConfig(particles=512, iters=10),
+                          pso=PsoConfig(particles=512, iters=10, **pso_kw),
                           score=ScoreConfig(self_occlusion=self_occ))
     mesh = meshio.make_test_object(shape)
     obj = ObjectModel(mesh, model_points=1024, render_points=2048)
@@ -103,9 +106,21 @@ def run_level(shape, dy, curl, frames, seeds, theta=0.0, self_occ=True,
     est = Estimator(obj, hand, cfg)
     dense, _ = mesh.sample_surface(8192, seed=123)
     hq = np.asarray([curl, curl], np.float32)
+    # Shapes with an exact discrete symmetry (square-prism box: D4, order
+    # 8) are also scored with symmetry-group-aware ADD: a tracker sitting
+    # on a true 90-deg twin is pose-correct (the depth image is IDENTICAL)
+    # but sampled-cloud ADD-S floors at ~0.9 mm (8192 pts) because the
+    # twin's samples land between the originals — measured r5 on the box:
+    # clean level-0 ADD-S 1.18 mm with raw dT rot 32.6 deg / trans 32 mm
+    # (some frames on a twin: dT is a rotation about the object CENTER,
+    # so its matrix translation is |(I-R)c|, huge at 0.5 m range).
+    try:
+        syms = symmetry_group(shape)
+    except ValueError:
+        syms = [np.eye(4)]
 
     errs, occs, covs, n_reinit = [], [], [], 0
-    rot_errs, trans_errs = [], []
+    sym_errs, rot_errs, trans_errs, axis_z = [], [], [], []
     for seed in range(seeds):
         rng = np.random.default_rng(7000 + seed)
         pose = default_object_pose()
@@ -150,19 +165,43 @@ def run_level(shape, dy, curl, frames, seeds, theta=0.0, self_occ=True,
             n_reinit += bool(res.reinitialized)
             if f > 0:
                 errs.append(add_s_error(np.asarray(res.pose), cur, dense))
-                # pose-error decomposition (diagnostic: flat-face shapes
-                # concentrate error in the silhouette-constrained DOF)
-                dT = np.asarray(res.pose) @ np.linalg.inv(cur)
+                # symmetry-aware ADD (exact, floor-free) + pose-error
+                # decomposition AFTER removing the best symmetry twin
+                # (flat-face shapes concentrate error in the
+                # silhouette-constrained DOF)
+                per_sym = [add_error(np.asarray(res.pose), cur @ S, dense)
+                           for S in syms]
+                best = int(np.argmin(per_sym))
+                sym_errs.append(per_sym[best])
+                gt_b = cur @ syms[best]
+                dT = np.asarray(res.pose) @ np.linalg.inv(gt_b)
                 ang = np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1)
                 rot_errs.append(np.degrees(np.arccos(ang)))
-                trans_errs.append(np.linalg.norm(dT[:3, 3]))
+                # error-axis decomposition: |axis . z_cam| ~ 1 means the
+                # rotation error is about the view axis (in-image spin —
+                # point-to-plane ICP's null space on a camera-facing
+                # face; silhouette-only evidence); ~0 means tilt (depth-
+                # constrained, ICP should nail it)
+                R = dT[:3, :3]
+                w = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                              R[1, 0] - R[0, 1]])
+                n = np.linalg.norm(w)
+                axis_z.append(abs(w[2]) / n if n > 1e-9 else 0.0)
+                # translation error AT THE OBJECT ORIGIN (dT[:3,3] alone
+                # is the camera-origin displacement — at 0.5 m range a
+                # pure rotation about the object reads ~theta*0.5 m there)
+                trans_errs.append(np.linalg.norm(
+                    np.asarray(res.pose)[:3, 3] - gt_b[:3, 3]))
     print(json.dumps({
         "shape": shape, "dy_mm": round(dy * 1000, 1), "curl": curl,
         "theta_deg": theta, "noise_sigma": noise_sigma,
         "occlusion_pct": round(100 * float(np.mean(occs)), 1),
         "adds_mm_tracked_mean": round(float(np.mean(errs)) * 1000, 3),
         "adds_mm_p90": round(float(np.quantile(errs, 0.9)) * 1000, 3),
+        "add_sym_mm_tracked_mean": round(float(np.mean(sym_errs)) * 1000, 3),
+        "add_sym_mm_p90": round(float(np.quantile(sym_errs, 0.9)) * 1000, 3),
         "rot_deg_mean": round(float(np.mean(rot_errs)), 3),
+        "rot_axis_z_mean": round(float(np.mean(axis_z)), 3),
         "trans_mm_mean": round(float(np.mean(trans_errs)) * 1000, 3),
         # coverage under occlusion: validates the watchdog threshold
         # (TrackerConfig.coverage_reinit_threshold) stays collapse-only
@@ -182,6 +221,8 @@ def main():
                     help="A/B: disable ScoreConfig.self_occlusion")
     ap.add_argument("--theta", type=float, nargs="*", default=None,
                     help="run only these theta levels (default: all six)")
+    ap.add_argument("--finish-iters", type=int, default=-1,
+                    help="A/B: override PsoConfig.finish_iters (-1 = default)")
     ap.add_argument("--clean", action="store_true",
                     help="A/B: no sensor noise / dropout (bias-vs-variance "
                          "decomposition of a level's tracked error)")
@@ -197,7 +238,8 @@ def main():
         run_level(args.shape, dy, curl, args.frames, args.seeds, theta,
                   self_occ=not args.no_self_occ,
                   noise_sigma=0.0 if args.clean else 0.001,
-                  dropout=0.0 if args.clean else 0.02)
+                  dropout=0.0 if args.clean else 0.02,
+                  finish_iters=args.finish_iters)
 
 
 if __name__ == "__main__":

@@ -214,3 +214,70 @@ def test_diverse_hypotheses_first_pose_forced():
     assert np.allclose(np.asarray(p[0]), np.asarray(forced))
     assert float(f[0]) == pytest.approx(0.99)
     assert np.allclose(np.asarray(p[1]), np.eye(4))  # best candidate next
+
+
+def test_continuity_select_prefers_prior_branch_on_tie():
+    """PsoConfig.tie_break_eps: among near-tie fine-tier candidates, the
+    one closest to the prior pose wins — an exact-symmetry twin (same
+    fitness up to sampling noise) must not displace the incumbent branch."""
+    from icra20_hand_object_pose_tpu.ops.pso import continuity_select
+    from icra20_hand_object_pose_tpu.utils import se3
+
+    pts = np.random.default_rng(0).normal(size=(256, 3)).astype(np.float32)
+    prior = np.eye(4, dtype=np.float32)
+    twin = np.asarray(se3.se3_exp(          # 90deg z-twin of a square prism
+        jnp.asarray([0, 0, np.pi / 2, 0, 0, 0], jnp.float32)))
+    near = prior.copy()
+    near[0, 3] += 0.0004                    # same basin, 0.4 mm off
+    cands = jnp.asarray(np.stack([twin, near, prior]))
+    # twin wins the raw argmax by a hair (sampling noise scale)
+    fit = jnp.asarray([1.402, 1.398, 1.400])
+    bi = continuity_select(cands, fit, jnp.asarray(prior),
+                           jnp.asarray(pts), eps=0.01)
+    assert int(bi) == 2                      # prior branch, best-of-branch
+
+    # a genuinely better basin (beyond the tie window) wins regardless
+    fit2 = jnp.asarray([1.60, 1.398, 1.400])
+    bi2 = continuity_select(cands, fit2, jnp.asarray(prior),
+                            jnp.asarray(pts), eps=0.01)
+    assert int(bi2) == 0
+
+
+def test_snap_to_branch_reports_prior_consistent_twin():
+    """ops/pso.snap_to_branch: an exact-symmetry twin of the best pose is
+    reported on the PRIOR's branch (pose @ S*), preserving the residual
+    error exactly — the depth image of pose and pose @ S is identical, so
+    the branch choice is convention and must be the temporally-stable one."""
+    from icra20_hand_object_pose_tpu.models import ObjectModel
+    from icra20_hand_object_pose_tpu.ops.pso import snap_to_branch
+    from icra20_hand_object_pose_tpu.utils import meshio, se3
+
+    obj = ObjectModel(meshio.make_test_object("box"),
+                      model_points=256, render_points=512)
+    assert obj.symmetries.shape == (8, 4, 4)          # square-prism group
+    prior = jnp.eye(4)
+    # estimator landed on the 90deg z-twin, with a small genuine error
+    err = se3.se3_exp(jnp.asarray([0.01, 0, 0, 0.001, 0, 0], jnp.float32))
+    twin = se3.compose(err, se3.se3_exp(
+        jnp.asarray([0, 0, np.pi / 2, 0, 0, 0], jnp.float32)))
+    snapped = np.asarray(snap_to_branch(twin, prior, obj.symmetries,
+                                        obj.model_pts))
+    # back on the prior branch: rotation error vs prior ~ the genuine
+    # error (0.57deg), not 90deg
+    ang = np.degrees(np.arccos(np.clip(
+        (np.trace(snapped[:3, :3]) - 1) / 2, -1, 1)))
+    assert ang < 1.0, ang
+    # the snap composes an EXACT group member: snapped == twin @ S for
+    # some S (same physical pose; sampled ADD-S would only bound this at
+    # its ~half-sample-spacing floor)
+    assert any(
+        np.allclose(snapped, np.asarray(twin) @ np.asarray(S), atol=1e-5)
+        for S in obj.symmetries
+    )
+
+    # trivial group (asym): ObjectModel carries identity alone and the
+    # estimator skips the snap entirely (static shape 1)
+    obj2 = ObjectModel(meshio.make_test_object("asym"),
+                       model_points=64, render_points=64)
+    assert obj2.symmetries.shape == (1, 4, 4)
+    assert np.allclose(np.asarray(obj2.symmetries[0]), np.eye(4))
